@@ -1,0 +1,7 @@
+"""Low-rank preconditioning."""
+
+from lanczos_adjoints_tpu.precond.low_rank import (  # noqa: F401
+    cholesky_partial,
+    cholesky_partial_pivot,
+    preconditioner,
+)

@@ -1,0 +1,179 @@
+"""Partial-Cholesky low-rank approximations and the Woodbury preconditioner.
+
+Parity with reference ``src/matfree_extensions/low_rank.py``:
+``preconditioner`` (low_rank.py:10), ``cholesky_partial`` (low_rank.py:63),
+``cholesky_partial_pivot`` (low_rank.py:120).  All three forbid
+differentiation through themselves via custom VJPs whose backward pass
+raises -- preconditioners must not contribute gradients.
+
+The kernel matrix is only accessed lazily through ``element(i, j)``;
+columns are vmapped, which XLA vectorises into batched kernel
+evaluations (MXU matmuls for dot-product kernels).
+"""
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def preconditioner(cholesky: Callable, /) -> Callable:
+    """Turn a partial Cholesky routine into a Woodbury solver factory.
+
+    ``solve(v, s) ~= (s*I + L L^T)^{-1} v`` via the capacitance-matrix
+    identity; ``s`` is the noise/shift.  The returned solver refuses to
+    be differentiated.
+    """
+
+    def precondition(lazy_kernel: Callable, nrows: int, /):
+        chol, info = cholesky(lazy_kernel, nrows)
+
+        n_full, rank = jnp.shape(chol)
+        assert rank <= n_full, (n_full, rank)
+
+        @jax.custom_vjp
+        def solve(v: jax.Array, s):
+            scaled = chol / jnp.sqrt(s)
+            v_scaled = v / s
+
+            capacitance = jnp.eye(rank) + scaled.T @ scaled
+            cho = jax.scipy.linalg.cho_factor(capacitance)
+            correction = jax.scipy.linalg.cho_solve(cho, scaled.T @ v_scaled)
+            return v_scaled - scaled @ correction
+
+        def solve_fwd(v, s):
+            return solve(v, s), None
+
+        def solve_bwd(_cache, _cotangent):
+            msg = "Preconditioners must not be differentiated through."
+            raise RuntimeError(msg)
+
+        solve.defvjp(solve_fwd, solve_bwd)
+        return solve, info
+
+    return precondition
+
+
+def cholesky_partial(*, rank: int) -> Callable:
+    """Rank-``rank`` partial Cholesky of a lazily-indexed matrix."""
+
+    def cholesky(lazy_kernel: Callable, n: int, /):
+        _check_rank(rank, n)
+        element, aux_args = jax.closure_convert(lazy_kernel, 0, 0)
+        return _cholesky(element, n, *aux_args)
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=[0, 1])
+    def _cholesky(element: Callable, n: int, *params):
+        body = _partial_body(element, n, rank, *params)
+        L = jnp.zeros((n, rank))
+        return jax.lax.fori_loop(0, rank, body, L), {}
+
+    def _fwd(*args):
+        return _cholesky(*args), None
+
+    def _bwd(*_args):
+        msg = "Partial Cholesky factorisations must not be differentiated through."
+        raise RuntimeError(msg)
+
+    _cholesky.defvjp(_fwd, _bwd)
+    return cholesky
+
+
+def _partial_body(element: Callable, n: int, rank: int, *params):
+    all_idx = jnp.arange(n)
+
+    def column(i):
+        return jax.vmap(lambda j: element(j, i, *params))(all_idx)
+
+    def body(i, L):
+        diag_el = element(i, i, *params)
+        pivot = jnp.sqrt(diag_el - jnp.dot(L[i], L[i]))
+        col = column(i) - L @ L[i, :]
+        return L.at[:, i].set(col / pivot)
+
+    return body
+
+
+def cholesky_partial_pivot(*, rank: int) -> Callable:
+    """Partial Cholesky with greedy diagonal pivoting.
+
+    Each step pivots to the largest residual diagonal entry; the result
+    is de-permuted so callers see the original ordering.  Info carries a
+    ``success`` flag (False if a pivot went non-positive).
+    """
+
+    def cholesky(lazy_kernel: Callable, n: int, /):
+        _check_rank(rank, n)
+        element, aux_args = jax.closure_convert(lazy_kernel, 0, 0)
+        return _cholesky(element, n, *aux_args)
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=[0, 1])
+    def _cholesky(element: Callable, n: int, *params):
+        body = _pivot_body(element, n, rank, *params)
+        L = jnp.zeros((n, rank))
+        perm = jnp.arange(n)
+        init = (L, perm, perm, True)
+        L, perm, _matrix_perm, success = jax.lax.fori_loop(0, rank, body, init)
+        return _unpermute_rows(L, perm), {"success": success}
+
+    def _fwd(*args):
+        return _cholesky(*args), None
+
+    def _bwd(*_args):
+        msg = "Partial Cholesky factorisations must not be differentiated through."
+        raise RuntimeError(msg)
+
+    _cholesky.defvjp(_fwd, _bwd)
+    return cholesky
+
+
+def _pivot_body(element: Callable, n: int, rank: int, *params):
+    all_idx = jnp.arange(n)
+
+    def column_p(i, permute):
+        return jax.vmap(lambda j: element(permute[j], permute[i], *params))(all_idx)
+
+    def diagonal_p(permute):
+        return jax.vmap(lambda j: element(permute[j], permute[j], *params))(all_idx)
+
+    def body(i, carry):
+        L, perm, matrix_perm, success = carry
+
+        residual_diag = diagonal_p(matrix_perm) - jax.vmap(jnp.dot)(L, L)
+        k = jnp.argmax(jnp.abs(residual_diag))
+
+        matrix_perm = _swap(matrix_perm, i, k)
+        L = _swap_rows(L, i, k)
+        perm = _swap(perm, i, k)
+
+        diag_el = element(matrix_perm[i], matrix_perm[i], *params)
+        pivot_sq = diag_el - jnp.dot(L[i], L[i])
+        pivot = jnp.sqrt(pivot_sq)
+        col = column_p(i, matrix_perm) - L @ L[i, :]
+        success = jnp.logical_and(success, pivot_sq > 0.0)
+
+        return L.at[:, i].set(col / pivot), perm, matrix_perm, success
+
+    return body
+
+
+def _swap(arr, i, j):
+    ai, aj = arr[i], arr[j]
+    return arr.at[i].set(aj).at[j].set(ai)
+
+
+_swap_rows = _swap
+
+
+def _unpermute_rows(arr, perm, /):
+    return arr[jnp.argsort(perm)]
+
+
+def _check_rank(rank: int, n: int):
+    if rank > n:
+        msg = f"Rank exceeds n: {rank} >= {n}."
+        raise ValueError(msg)
+    if rank < 1:
+        msg = f"Rank must be positive, but {rank} < {1}."
+        raise ValueError(msg)

@@ -1,0 +1,68 @@
+"""Stochastic Lanczos quadrature log-determinants.
+
+Parity with reference ``gp_util.py:552-621`` (``krylov_logdet_slq`` and
+``krylov_logdet_slq_vjp_reuse``): Hutchinson over SLQ integrands with
+sequential key batches, remat flags, and std diagnostics in the info
+dict.
+"""
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from lanczos_adjoints_tpu.krylov import lanczos
+from lanczos_adjoints_tpu.trace import hutchinson as hutch
+
+
+def krylov_logdet_slq(
+    krylov_depth: int, /, *, sample: Callable, num_batches: int, checkpoint: bool
+) -> Callable:
+    """SLQ estimator of ``logdet(A)`` differentiable via Lanczos adjoints."""
+
+    def logdet(matvec: Callable, /, key):
+        integrand = lanczos.integrand_spd(jnp.log, krylov_depth, matvec)
+        estimate = hutch.hutchinson(integrand, sample)
+
+        if num_batches == 1:
+            value = estimate(key)
+            return value, {"std_abs": 0.0, "std_rel": 0.0}
+
+        if checkpoint:
+            estimate = jax.checkpoint(estimate)
+
+        keys = jax.random.split(key, num=num_batches)
+        values = jax.lax.map(estimate, keys)
+        mean = jnp.mean(values, axis=0)
+        std = jnp.std(values, axis=0)
+        return mean, {"std_abs": std, "std_rel": std / jnp.abs(mean)}
+
+    return logdet
+
+
+def krylov_logdet_slq_vjp_reuse(
+    krylov_depth: int, /, *, sample: Callable, num_batches: int, checkpoint: bool
+) -> Callable:
+    """SLQ logdet with the cheap decomposition-reusing (inexact) VJP.
+
+    Recycles the forward Lanczos decomposition for the gradient (one
+    extra matvec-VJP) instead of running the exact adjoint pass --
+    Dong et al., NeurIPS 2017 style.  See reference gp_util.py:579-621.
+    """
+
+    def logdet(matvec: Callable, /, key):
+        integrand = lanczos.integrand_spd_custom_vjp_reuse(
+            jnp.log, krylov_depth, matvec
+        )
+        estimate = hutch.hutchinson(integrand, sample)
+
+        if checkpoint:
+            estimate = jax.checkpoint(estimate)
+
+        keys = jax.random.split(key, num=num_batches)
+        values = jax.lax.map(estimate, keys)
+        mean = jnp.mean(values, axis=0)
+        std = jnp.std(values, axis=0)
+        return mean, {"std": std}
+
+    return logdet

