@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from lanczos_adjoints_tpu.krylov import lanczos
-from lanczos_adjoints_tpu.trace import hutchinson as hutch
+from lanczos_adjoints_tpu.trace.hutchinson import hutchinson as _hutchinson
 
 
 def krylov_logdet_slq(
@@ -22,7 +22,7 @@ def krylov_logdet_slq(
 
     def logdet(matvec: Callable, /, key):
         integrand = lanczos.integrand_spd(jnp.log, krylov_depth, matvec)
-        estimate = hutch.hutchinson(integrand, sample)
+        estimate = _hutchinson(integrand, sample)
 
         if num_batches == 1:
             value = estimate(key)
@@ -54,7 +54,7 @@ def krylov_logdet_slq_vjp_reuse(
         integrand = lanczos.integrand_spd_custom_vjp_reuse(
             jnp.log, krylov_depth, matvec
         )
-        estimate = hutch.hutchinson(integrand, sample)
+        estimate = _hutchinson(integrand, sample)
 
         if checkpoint:
             estimate = jax.checkpoint(estimate)

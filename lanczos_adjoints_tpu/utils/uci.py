@@ -1,0 +1,189 @@
+"""UCI regression dataset loaders with local caching.
+
+Parity with reference ``src/matfree_extensions/util/uci_util.py``: one
+``uci_<name>()`` loader per dataset, all backed by a cache directory of
+``{inputs,targets}.npy`` pairs.  The reference downloads from the
+internet on cache miss (uci_util.py:35-64); this environment has no
+egress, so cache misses raise with a clear message instead.  Loaders
+also search the bundled reference data (``data/uci_processed`` and the
+Wu-et-al.-style ``data/uci/<name>/data.csv.gz``) so the shipped datasets
+work out of the box.
+"""
+
+import functools
+import os
+
+import numpy as np
+
+_SEARCH_PATHS = (
+    "./data/uci_processed",
+    "/root/repo/data/uci_processed",
+    "/root/reference/data/uci_processed",
+)
+_CSV_SEARCH_PATHS = (
+    "./data/uci",
+    "/root/repo/data/uci",
+    "/root/reference/data/uci",
+)
+
+
+def _from_cache(name: str):
+    for root in _SEARCH_PATHS:
+        d = os.path.join(root, name)
+        if os.path.exists(os.path.join(d, "inputs.npy")):
+            inputs = np.load(os.path.join(d, "inputs.npy"))
+            targets = np.load(os.path.join(d, "targets.npy"))
+            return inputs, targets
+    return None
+
+
+def _from_csv(name: str):
+    for root in _CSV_SEARCH_PATHS:
+        path = os.path.join(root, name, "data.csv.gz")
+        if os.path.exists(path):
+            import pandas as pd
+
+            frame = pd.read_csv(path, header=None).values.astype(np.float64)
+            inputs, targets = frame[:, :-1], frame[:, -1]
+            return inputs, targets
+    return None
+
+
+def _cache(name: str, inputs, targets, cache_dir="./data/uci_processed"):
+    d = os.path.join(cache_dir, name)
+    os.makedirs(d, exist_ok=True)
+    np.save(os.path.join(d, "inputs.npy"), inputs)
+    np.save(os.path.join(d, "targets.npy"), targets)
+
+
+def _use_cache_or_bundled(fn):
+    """Reference decorator semantics minus the download path."""
+
+    @functools.wraps(fn)
+    def wrapped(*, normalize: bool = True):
+        name = fn.__name__.removeprefix("uci_")
+        found = _from_cache(name) or _from_csv(name)
+        if found is None:
+            msg = (
+                f"UCI dataset {name!r} is not cached under "
+                f"{_SEARCH_PATHS + _CSV_SEARCH_PATHS} and this environment "
+                "has no network access to download it. Place "
+                f"data/uci_processed/{name}/{{inputs,targets}}.npy manually."
+            )
+            raise FileNotFoundError(msg)
+        inputs, targets = found
+        if normalize:
+            inputs = _normalize(inputs)
+            targets = _normalize(targets)
+        return inputs, targets
+
+    return wrapped
+
+
+def _normalize(arr):
+    mean = arr.mean(axis=0, keepdims=True)
+    std = arr.std(axis=0, keepdims=True)
+    return (arr - mean) / np.where(std < 1e-12, 1.0, std)
+
+
+# One loader per reference dataset (uci_util.py:67-317).  Those whose
+# data ships with the repo load immediately; the rest raise until the
+# user provides cached arrays.
+
+
+@_use_cache_or_bundled
+def uci_road_network():
+    """3D road network (N~434k, d=3)."""
+
+
+@_use_cache_or_bundled
+def uci_song():
+    """YearPredictionMSD (N~515k, d=90)."""
+
+
+@_use_cache_or_bundled
+def uci_air_quality():
+    """Air quality (N~9k, d=13)."""
+
+
+@_use_cache_or_bundled
+def uci_bike_sharing():
+    """Bike sharing (N~17k, d=17)."""
+
+
+@_use_cache_or_bundled
+def uci_kegg_undirected():
+    """KEGG undirected (N~64k, d=27)."""
+
+
+@_use_cache_or_bundled
+def uci_parkinson():
+    """Parkinson telemonitoring (N~6k, d=20)."""
+
+
+@_use_cache_or_bundled
+def uci_protein():
+    """Protein structure (N~46k, d=9)."""
+
+
+@_use_cache_or_bundled
+def uci_sgemm():
+    """SGEMM GPU kernel performance (N~241k, d=14)."""
+
+
+@_use_cache_or_bundled
+def uci_concrete():
+    """Concrete compressive strength (N=1030, d=8). Bundled."""
+
+
+@_use_cache_or_bundled
+def uci_power_plant():
+    """Combined-cycle power plant (N~10k, d=4). Bundled."""
+
+
+@_use_cache_or_bundled
+def uci_kin40k():
+    """kin40k robot kinematics (N=40k, d=8). Bundled (csv)."""
+
+
+@_use_cache_or_bundled
+def uci_elevators():
+    """Elevators (N~16.6k, d=18). Bundled (csv)."""
+
+
+@_use_cache_or_bundled
+def uci_slice():
+    """CT slice localisation (N~53k, d=385)."""
+
+
+@_use_cache_or_bundled
+def uci_kegg_directed():
+    """KEGG directed (N~53k, d=20)."""
+
+
+# Extra loaders for the remaining bundled csv datasets.
+
+
+@_use_cache_or_bundled
+def uci_bike():
+    """Bike (Wu et al. split). Bundled (csv)."""
+
+
+@_use_cache_or_bundled
+def uci_pol():
+    """Pol telecomm. Bundled (csv)."""
+
+
+@_use_cache_or_bundled
+def uci_pumadyn32nm():
+    """Pumadyn-32nm. Bundled (csv)."""
+
+
+@_use_cache_or_bundled
+def uci_metro():
+    """Metro interstate traffic. Bundled (csv)."""
+
+
+@_use_cache_or_bundled
+def uci_pm25():
+    """Beijing PM2.5. Bundled (csv)."""

@@ -1,0 +1,85 @@
+"""Partial Cholesky and preconditioner properties.
+
+Mirrors reference tests/test_low_rank/test_low_rank.py: full-rank
+reconstruction to eps, pivoted beating non-pivoted at equal rank, the
+Woodbury preconditioner solving shifted systems, non-differentiability
+guards, and rank validation.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lanczos_adjoints_tpu import precond
+from lanczos_adjoints_tpu.utils import test_util
+
+
+def _spd_matrix(n, *, decay=2.0):
+    eigvals = jnp.exp(-decay * jnp.arange(n, dtype=jnp.float32))
+    return test_util.symmetric_matrix_from_eigenvalues(eigvals + 1e-3)
+
+
+def test_full_rank_reconstructs():
+    n = 8
+    A = _spd_matrix(n, decay=0.3)
+    cholesky = precond.cholesky_partial(rank=n)
+    L, _info = cholesky(lambda i, j: A[i, j], n)
+    assert jnp.allclose(L @ L.T, A, atol=1e-5, rtol=1e-5)
+
+
+def test_full_rank_pivoted_reconstructs():
+    n = 8
+    A = _spd_matrix(n, decay=0.3)
+    cholesky = precond.cholesky_partial_pivot(rank=n)
+    L, info = cholesky(lambda i, j: A[i, j], n)
+    assert bool(info["success"])
+    assert jnp.allclose(L @ L.T, A, atol=1e-4, rtol=1e-4)
+
+
+def test_pivoted_beats_nonpivoted_at_equal_rank():
+    n, rank = 20, 4
+    A = _spd_matrix(n, decay=1.0)
+
+    L_plain, _ = precond.cholesky_partial(rank=rank)(lambda i, j: A[i, j], n)
+    L_pivot, _ = precond.cholesky_partial_pivot(rank=rank)(lambda i, j: A[i, j], n)
+
+    err_plain = jnp.linalg.norm(A - L_plain @ L_plain.T)
+    err_pivot = jnp.linalg.norm(A - L_pivot @ L_pivot.T)
+    assert err_pivot <= err_plain * 1.001, (err_pivot, err_plain)
+
+
+def test_preconditioner_solves_shifted_system():
+    n, rank = 20, 20
+    key = jax.random.PRNGKey(0)
+    W = jax.random.normal(key, (n, n))
+    A = W @ W.T / n
+    sigma = 0.1
+
+    cholesky = precond.cholesky_partial_pivot(rank=rank)
+    solve, _info = precond.preconditioner(cholesky)(lambda i, j: A[i, j], n)
+
+    b = jnp.arange(1.0, n + 1.0)
+    x = solve(b, sigma)
+    x_true = jnp.linalg.solve(A + sigma * jnp.eye(n), b)
+    assert jnp.allclose(x, x_true, atol=1e-2, rtol=1e-2)
+
+
+def test_differentiation_guard_raises():
+    n = 6
+    A = _spd_matrix(n)
+    cholesky = precond.cholesky_partial(rank=3)
+
+    def loss(A):
+        L, _ = cholesky(lambda i, j: A[i, j], n)
+        return jnp.sum(L**2)
+
+    with pytest.raises(RuntimeError, match="differentiated"):
+        jax.grad(loss)(A)
+
+
+def test_rank_validation():
+    cholesky = precond.cholesky_partial(rank=10)
+    with pytest.raises(ValueError, match="Rank exceeds"):
+        cholesky(lambda i, j: 1.0, 5)
+    with pytest.raises(ValueError, match="positive"):
+        precond.cholesky_partial(rank=0)(lambda i, j: 1.0, 5)
