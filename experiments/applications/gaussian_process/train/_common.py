@@ -1,0 +1,201 @@
+"""Shared GP-training machinery for the optim_logml_* drivers.
+
+Re-implements the reference flagship experiment
+(``experiments/applications/gaussian_process/train/
+optim_logml_adjoints_adaptive.py``) on the TPU-native stack: UCI data,
+Matern-3/2 GP, preconditioned adaptive/fixed CG + SLQ logdet with
+Lanczos adjoints, Adam, per-epoch diagnostics streamed from the
+info-dict, results persisted as .npy series.
+"""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lanczos_adjoints_tpu import precond, solvers, trace
+from lanczos_adjoints_tpu.models import gp
+from lanczos_adjoints_tpu.utils import data as data_util
+from lanczos_adjoints_tpu.utils import exp_util, uci
+
+
+def load_data(which: str, /):
+    loader = getattr(uci, f"uci_{which}", None)
+    if loader is None:
+        msg = f"Unknown dataset {which!r}"
+        raise ValueError(msg)
+    return loader(normalize=True)
+
+
+def rmse(x, *, target):
+    return jnp.sqrt(jnp.mean((x - target) ** 2))
+
+
+def build_argparser(parser):
+    parser.add_argument("--name", type=str, required=True)
+    parser.add_argument("--seed", type=int, required=True)
+    parser.add_argument("--dataset", type=str, required=True)
+    parser.add_argument("--rank_precon", type=int, required=True)
+    parser.add_argument("--num_partitions", type=int, required=True)
+    parser.add_argument("--num_matvecs", type=int, required=True)
+    parser.add_argument("--num_samples", type=int, required=True)
+    parser.add_argument("--num_epochs", type=int, required=True)
+    parser.add_argument("--num_data", type=int, default=-1)
+    parser.add_argument("--cg_tol", type=float, default=1e-2)
+    parser.add_argument("--learning_rate", type=float, default=0.05)
+    return parser
+
+
+def run(args, *, script_file, solver_mode: str):
+    """Train GP hyperparameters; ``solver_mode`` is 'adaptive' or 'fixed'."""
+    noise_minval = 1e-4
+    key = jax.random.PRNGKey(args.seed)
+    key, subkey = jax.random.split(key)
+
+    inputs, targets = load_data(args.dataset)
+    inputs = jnp.asarray(inputs, jnp.float32)
+    targets = jnp.asarray(targets, jnp.float32)
+
+    if args.num_data > 0:
+        inputs, targets = inputs[: args.num_data], targets[: args.num_data]
+
+    # Subsample so the partition count divides the train split.
+    num_raw = len(inputs)
+    coeff = num_raw // (5 * args.num_partitions)
+    num_data = int(coeff * 5 * args.num_partitions)
+    train, test = data_util.split_train_test_shuffle(
+        subkey, inputs[:num_data], targets[:num_data], train_fraction=0.8
+    )
+    (train_x, train_y), (test_x, test_y) = train, test
+    print(f"dataset {args.dataset}: train {train_x.shape}, test {test_x.shape}")
+
+    # Linear algebra assembly (call stack SURVEY.md 3.1).
+    if solver_mode == "adaptive":
+        solve_p = solvers.pcg_adaptive(
+            rtol=0.0, atol=args.cg_tol, maxiter=1000, miniter=10
+        )
+    else:
+        solve_p = solvers.pcg_fixed_step(args.num_matvecs)
+    sample = trace.sampler_rademacher(jnp.ones((len(train_x),)), num=1)
+    logdet = gp.krylov_logdet_slq(
+        args.num_matvecs, sample=sample, num_batches=args.num_samples, checkpoint=True
+    )
+    rank_precon = int(min(args.rank_precon, len(train_x)))
+    cholesky = precond.cholesky_partial_pivot(rank=rank_precon)
+    precondition = precond.preconditioner(cholesky)
+    logpdf_p = gp.logpdf_krylov_p(solve_p, logdet)
+    if args.num_partitions == 1:
+        gram_matvec = gp.gram_matvec()
+    else:
+        gram_matvec = gp.gram_matvec_partitioned(args.num_partitions, checkpoint=True)
+    constrain = gp.constraint_greater_than(noise_minval)
+    likelihood, p_likelihood = gp.likelihood_pdf_p(
+        gram_matvec, logpdf_p, precondition, constrain=constrain
+    )
+
+    ndim = train_x.shape[-1]
+    mean, p_mean = gp.mean_constant(shape_out=())
+    kernel, p_kernel = gp.kernel_scaled_matern_32(shape_in=(ndim,), shape_out=())
+    prior = gp.model_gp(mean, kernel)
+    loss = gp.target_logml(prior, likelihood)
+
+    key, subkey = jax.random.split(key)
+    ps = exp_util.tree_random_like(subkey, (p_mean, p_kernel, p_likelihood))
+    p_opt, unflatten = jax.flatten_util.ravel_pytree(ps)
+
+    @jax.jit
+    def mll_lanczos(params, key, Xs, ys):
+        p1, p2, p3 = unflatten(params)
+        val, info = loss(
+            Xs, ys, key, params_mean=p1, params_kernel=p2, params_likelihood=p3
+        )
+        return -val / len(Xs), info
+
+    @jax.jit
+    def mll_eval(params, key, Xs, ys):
+        # Rebuild the probe sampler/logdet for the evaluation-set size.
+        p1, p2, p3 = unflatten(params)
+        sample_ = trace.sampler_rademacher(jnp.ones((len(Xs),)), num=1)
+        logdet_ = gp.krylov_logdet_slq(
+            args.num_matvecs,
+            sample=sample_,
+            num_batches=args.num_samples,
+            checkpoint=True,
+        )
+        solve_ = solvers.pcg_adaptive(rtol=0.0, atol=1e-4, maxiter=10_000, miniter=10)
+        likelihood_, _ = gp.likelihood_pdf_p(
+            gram_matvec,
+            gp.logpdf_krylov_p(solve_, logdet_),
+            precondition,
+            constrain=constrain,
+        )
+        loss_ = gp.target_logml(prior, likelihood_)
+        val, info = loss_(
+            Xs, ys, key, params_mean=p1, params_kernel=p2, params_likelihood=p3
+        )
+        return -val / len(Xs), info
+
+    @jax.jit
+    def predict_mean(params, x, Xs, ys):
+        p1, p2, p3 = unflatten(params)
+        solve_ = solvers.pcg_adaptive(atol=1e-2, rtol=0.0, maxiter=10_000, miniter=10)
+        likelihood_, _ = gp.likelihood_condition_p(
+            gram_matvec, solve_, precondition=precondition, constrain=constrain
+        )
+        posterior = gp.target_posterior(prior, likelihood_)
+        postmean, _ = posterior(
+            Xs, ys, params_mean=p1, params_kernel=p2, params_likelihood=p3
+        )
+        return postmean(x)
+
+    optimizer = optax.adam(args.learning_rate)
+    state = optimizer.init(p_opt)
+    value_and_grad = jax.jit(jax.value_and_grad(mll_lanczos, argnums=0, has_aux=True))
+
+    loss_curve, loss_timestamps = [], []
+    cg_errors, cg_numsteps_all, slq_std_rels = [], [], []
+
+    start = time.perf_counter()
+    for epoch in range(args.num_epochs):
+        try:
+            key, subkey = jax.random.split(key)
+            (value, aux), grads = value_and_grad(p_opt, subkey, train_x, train_y)
+            updates, state = optimizer.update(grads, state)
+            p_opt = optax.apply_updates(p_opt, updates)
+
+            residual = aux["logpdf"]["solve"]["residual_abs"]
+            cg_error = float(jnp.linalg.norm(residual) / jnp.sqrt(len(residual)))
+            num_steps = aux["logpdf"]["solve"].get("num_steps", args.num_matvecs)
+            loss_curve.append(float(value))
+            loss_timestamps.append(time.perf_counter() - start)
+            cg_errors.append(cg_error)
+            cg_numsteps_all.append(int(num_steps))
+            slq_std_rels.append(float(aux["logpdf"]["logdet"]["std_rel"]))
+            print(
+                f"epoch {epoch}: loss {float(value):.4f} cg_error {cg_error:.1e} "
+                f"cg_steps {int(num_steps)}",
+                flush=True,
+            )
+        except KeyboardInterrupt:
+            break
+
+    predicted, _info = predict_mean(p_opt, test_x, train_x, train_y)
+    test_rmse = float(rmse(predicted, target=test_y))
+    key, subkey = jax.random.split(key)
+    test_nll, _ = mll_eval(p_opt, subkey, test_x, test_y)
+    print(f"RMSE {test_rmse:.4f}  NLL {float(test_nll):.4f}")
+
+    directory = exp_util.matching_directory(script_file, "results/")
+    os.makedirs(directory, exist_ok=True)
+    path = f"{directory}{args.name}_{args.dataset}_s{args.seed}"
+    np.save(f"{path}_loss_timestamps.npy", np.asarray(loss_timestamps))
+    np.save(f"{path}_loss_curve.npy", np.asarray(loss_curve))
+    np.save(f"{path}_cg_errors.npy", np.asarray(cg_errors))
+    np.save(f"{path}_cg_numsteps_all.npy", np.asarray(cg_numsteps_all))
+    np.save(f"{path}_slq_std_rels.npy", np.asarray(slq_std_rels))
+    np.save(f"{path}_test_rmses.npy", np.asarray(test_rmse))
+    np.save(f"{path}_test_nlls.npy", np.asarray(float(test_nll)))
+    return test_rmse, float(test_nll)
