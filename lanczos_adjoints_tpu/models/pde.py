@@ -32,12 +32,27 @@ def mesh_tensorproduct(x, y, /):
 
 
 def stencil_laplacian(dx):
+    """Standard 5-point 2-D Laplacian stencil.
+
+    Deliberate divergence from the reference (pde_util.py:19), whose
+    stencil has a ``-2`` centre: convolving that adds a spurious
+    ``+2 u / dx^2`` zeroth-order term, giving the "wave" equation real
+    positive eigenvalues (solutions grow like exp(sqrt(2) c t / dx))
+    instead of a purely oscillatory spectrum.  The ``-4`` centre is the
+    actual discrete Laplacian.
+    """
+    stencil = jnp.asarray([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]])
+    return stencil / dx**2
+
+
+def stencil_laplacian_reference(dx):
+    """The reference's (-2)-centred stencil, kept for parity experiments."""
     stencil = jnp.asarray([[0.0, 1.0, 0.0], [1.0, -2.0, 1.0], [0.0, 1.0, 0.0]])
     return stencil / dx**2
 
 
 def stencil_advection_diffusion(dx):
-    diffusion = jnp.asarray([[0.0, 1.0, 0.0], [1.0, -2.0, 1.0], [0.0, 1.0, 0.0]])
+    diffusion = jnp.asarray([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]])
     advection = jnp.asarray([[0.0, 1.0, 0.0], [1.0, 0.0, -1.0], [0.0, -1.0, 0.0]])
     return diffusion / dx**2 + advection / (2 * dx)
 
