@@ -143,3 +143,30 @@ def suite_sparse_download(which: str, /, path: str = "./data/matrices/"):
             "environment has no network access for downloads."
         )
         raise RuntimeError(msg) from err
+
+
+def plt_spy_coo(ax, rows, cols, /, *, shape, markersize=1.0, color="black"):
+    """Sparsity ("spy") plot of a COO pattern onto a matplotlib axis.
+
+    Parity with reference exp_util.py:75-99 (which takes a BCOO; here
+    the pattern is passed as row/column index arrays).
+    """
+    ax.scatter(cols, rows, s=markersize, c=color, marker="s", linewidths=0)
+    ax.set_xlim(-0.5, shape[1] - 0.5)
+    ax.set_ylim(shape[0] - 0.5, -0.5)
+    ax.set_aspect("equal")
+    return ax
+
+
+def uci_dataset_mlrepo(name: str, /):
+    """Reference exp_util.py:45-72 fetched datasets from ucimlrepo.
+
+    This environment has no network egress; use the bundled loaders in
+    ``lanczos_adjoints_tpu.utils.uci`` instead.
+    """
+    msg = (
+        f"uci_dataset_mlrepo({name!r}) requires network access "
+        "(ucimlrepo); use lanczos_adjoints_tpu.utils.uci loaders with the "
+        "bundled data instead."
+    )
+    raise RuntimeError(msg)
