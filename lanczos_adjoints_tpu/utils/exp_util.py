@@ -83,27 +83,43 @@ def mtx_read(path: str, /):
         msg = f"Only coordinate matrices supported, got {obj}/{fmt}"
         raise ValueError(msg)
 
-    body = [ln for ln in lines[1:] if ln.strip() and not ln.startswith("%")]
-    nrows, ncols, nnz = (int(t) for t in body[0].split()[:3])
+    # Locate the size line (first non-comment line after the header).
+    pos = 1
+    while lines[pos].strip() == "" or lines[pos].startswith("%"):
+        pos += 1
+    nrows, ncols, nnz = (int(t) for t in lines[pos].split()[:3])
 
-    entries = body[1 : 1 + nnz]
-    if field == "pattern":
-        arr = np.loadtxt(entries, dtype=np.int64, ndmin=2)
-        rows, cols = arr[:, 0] - 1, arr[:, 1] - 1
-        vals = np.ones(len(rows), dtype=np.float64)
+    has_values = field != "pattern"
+    from lanczos_adjoints_tpu import native
+
+    mtxparse = native.get_mtxparse()
+    if mtxparse is not None:
+        # Native C parser: single strtol/strtod sweep over the body.
+        body_text = "\n".join(lines[pos + 1 :])
+        rows, cols, vals = mtxparse.parse_body(body_text, nnz, has_values)
     else:
-        arr = np.loadtxt(entries, dtype=np.float64, ndmin=2)
-        rows = arr[:, 0].astype(np.int64) - 1
-        cols = arr[:, 1].astype(np.int64) - 1
-        vals = arr[:, 2] if arr.shape[1] > 2 else np.ones(len(rows))
+        body = [
+            ln for ln in lines[pos + 1 :] if ln.strip() and not ln.startswith("%")
+        ]
+        entries = body[:nnz]
+        if not has_values:
+            arr = np.loadtxt(entries, dtype=np.int64, ndmin=2)
+            rows, cols = arr[:, 0] - 1, arr[:, 1] - 1
+            vals = np.ones(len(rows), dtype=np.float64)
+        else:
+            arr = np.loadtxt(entries, dtype=np.float64, ndmin=2)
+            rows = arr[:, 0].astype(np.int64) - 1
+            cols = arr[:, 1].astype(np.int64) - 1
+            vals = arr[:, 2] if arr.shape[1] > 2 else np.ones(len(rows))
 
     if symmetry in ("symmetric", "skew-symmetric", "hermitian"):
         off = rows != cols
         sign = -1.0 if symmetry == "skew-symmetric" else 1.0
-        rows = np.concatenate([rows, cols[off]])
-        cols_new = np.concatenate([cols, arr[:, 0].astype(np.int64)[off] - 1])
+        rows, cols = (
+            np.concatenate([rows, cols[off]]),
+            np.concatenate([cols, rows[off]]),
+        )
         vals = np.concatenate([vals, sign * vals[off]])
-        cols = cols_new
 
     return rows, cols, vals, (nrows, ncols)
 
