@@ -36,6 +36,7 @@ def hessenberg(
     reortho: str,
     custom_vjp: bool = True,
     reortho_vjp: str = "match",
+    loop_unroll: int = 4,
 ) -> Callable:
     """Construct an Arnoldi factorisation ``A Q = Q H + r e_k^T``.
 
@@ -60,7 +61,14 @@ def hessenberg(
         return estimate_backend(matvec_converted, v, *params, *aux_args)
 
     def estimate_backend(matvec_converted: Callable, v, *params):
-        return _forward(matvec_converted, krylov_depth, v, *params, reortho=reortho)
+        return _forward(
+            matvec_converted,
+            krylov_depth,
+            v,
+            *params,
+            reortho=reortho,
+            unroll=loop_unroll,
+        )
 
     def estimate_fwd(matvec_converted: Callable, v, *params):
         outputs = estimate_backend(matvec_converted, v, *params)
@@ -81,6 +89,7 @@ def hessenberg(
             dres=dres,
             dinv_norm=dinv_norm,
             reortho=reortho_adjoint,
+            unroll=loop_unroll,
         )
 
     if custom_vjp:
@@ -89,7 +98,7 @@ def hessenberg(
     return estimate_public
 
 
-def _forward(matvec, krylov_depth, v, *params, reortho: str):
+def _forward(matvec, krylov_depth, v, *params, reortho: str, unroll: int = 4):
     if krylov_depth < 1 or krylov_depth > len(v):
         msg = f"Parameter depth {krylov_depth} is outside the expected range"
         raise ValueError(msg)
@@ -122,12 +131,24 @@ def _forward(matvec, krylov_depth, v, *params, reortho: str):
         H = H.at[:, idx].set(coeffs)
         return Q, H, w, norm
 
-    Q, H, w, _norm = jax.lax.fori_loop(0, k, body, (Q, H, v, norm0))
+    Q, H, w, _norm = jax.lax.fori_loop(0, k, body, (Q, H, v, norm0), unroll=unroll)
     return Q, H, w, 1.0 / norm0
 
 
 def _adjoint(
-    matvec, params, *, Q, H, res, inv_norm, dQ, dH, dres, dinv_norm, reortho: str
+    matvec,
+    params,
+    *,
+    Q,
+    H,
+    res,
+    inv_norm,
+    dQ,
+    dH,
+    dres,
+    dinv_norm,
+    reortho: str,
+    unroll: int = 4,
 ):
     """Backward substitution on H, scanning the Krylov steps in reverse.
 
@@ -207,7 +228,7 @@ def _adjoint(
     dparams0 = jax.tree_util.tree_map(jnp.zeros_like, params)
     init = (lam, Lambda0, Sigma0, Q.T, dparams0)
     (lam, _Lambda, _Sigma, _P, dparams), _ = jax.lax.scan(
-        step, init, xs=scan_inputs, reverse=True
+        step, init, xs=scan_inputs, reverse=True, unroll=unroll
     )
 
     dv = lam * c
