@@ -18,6 +18,7 @@ import optax
 
 from lanczos_adjoints_tpu import precond, solvers, trace
 from lanczos_adjoints_tpu.models import gp
+from lanczos_adjoints_tpu.utils import checkpoint as ckpt_util
 from lanczos_adjoints_tpu.utils import data as data_util
 from lanczos_adjoints_tpu.utils import exp_util, uci
 
@@ -46,6 +47,8 @@ def build_argparser(parser):
     parser.add_argument("--num_data", type=int, default=-1)
     parser.add_argument("--cg_tol", type=float, default=1e-2)
     parser.add_argument("--learning_rate", type=float, default=0.05)
+    parser.add_argument("--checkpoint_every", type=int, default=0)
+    parser.add_argument("--resume", action="store_true")
     return parser
 
 
@@ -155,11 +158,22 @@ def run(args, *, script_file, solver_mode: str):
     state = optimizer.init(p_opt)
     value_and_grad = jax.jit(jax.value_and_grad(mll_lanczos, argnums=0, has_aux=True))
 
+    ckpt_dir = exp_util.matching_directory(script_file, "results/") + (
+        f"checkpoints_{args.name}_{args.dataset}_s{args.seed}"
+    )
+    first_epoch = 0
+    if args.resume:
+        restored, step = ckpt_util.restore(ckpt_dir, (p_opt, state, key))
+        if restored is not None:
+            p_opt, state, key = restored
+            first_epoch = step + 1
+            print(f"resumed from checkpoint at epoch {step}")
+
     loss_curve, loss_timestamps = [], []
     cg_errors, cg_numsteps_all, slq_std_rels = [], [], []
 
     start = time.perf_counter()
-    for epoch in range(args.num_epochs):
+    for epoch in range(first_epoch, args.num_epochs):
         try:
             key, subkey = jax.random.split(key)
             (value, aux), grads = value_and_grad(p_opt, subkey, train_x, train_y)
@@ -179,6 +193,8 @@ def run(args, *, script_file, solver_mode: str):
                 f"cg_steps {int(num_steps)}",
                 flush=True,
             )
+            if args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0:
+                ckpt_util.save(ckpt_dir, epoch, (p_opt, state, key))
         except KeyboardInterrupt:
             break
 

@@ -55,7 +55,9 @@ if __name__ == "__main__":
     init_bell, _ = pde.pde_init_bell(5.0)
     u0 = init_bell(center_logits=jnp.zeros(2))(mesh)
     y0 = jnp.stack([u0, jnp.zeros_like(u0)])
-    scale = 0.5 * jnp.ones((n, n))
+    # Keep t * spectral-radius modest so Krylov expm depths in the sweep
+    # are meaningful (t*omega ~ 6 here).
+    scale = 0.035 * jnp.ones((n, n))
 
     vf = lambda y, s: parametrize(scale=s)(y)  # noqa: E731
 
@@ -79,7 +81,7 @@ if __name__ == "__main__":
         results.append({"method": "arnoldi", "num_matvecs": depth, "error": err})
         print(f"arnoldi depth {depth}: grad rel-err {err:.3e}")
 
-    for steps in [4, 8, 16, 32, 64]:
+    for steps in [8, 16, 32, 64]:
         v, g, info = value_and_grad_of(rk4(steps, vf))
         err = float(np.linalg.norm(g - g_ref) / g_ref_norm)
         results.append(

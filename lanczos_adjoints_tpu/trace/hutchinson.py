@@ -40,11 +40,21 @@ def sampler_normal(x_like, /, *, num: int) -> Callable:
     return sample
 
 
-def hutchinson(integrand_fun: Callable, /, sample_fun: Callable) -> Callable:
-    """Monte-Carlo mean of ``integrand_fun`` over sampled probes."""
+def hutchinson(
+    integrand_fun: Callable, /, sample_fun: Callable, *, probe_sharding=None
+) -> Callable:
+    """Monte-Carlo mean of ``integrand_fun`` over sampled probes.
+
+    ``probe_sharding`` (a ``jax.sharding.Sharding`` over the leading
+    probe axis) turns the probe vmap into the data-parallel axis of a
+    device mesh: each device evaluates its probe shard and the final
+    mean compiles to one ``psum``.
+    """
 
     def estimate(key, *parameters):
         samples = sample_fun(key)
+        if probe_sharding is not None:
+            samples = jax.lax.with_sharding_constraint(samples, probe_sharding)
         values = jax.vmap(lambda v: integrand_fun(v, *parameters))(samples)
         return jax.tree_util.tree_map(lambda s: jnp.mean(s, axis=0), values)
 

@@ -1,0 +1,78 @@
+"""Benchmark timing utilities: on-device wall-clock via the R-slope protocol.
+
+The reference times jitted calls with ``time.perf_counter`` around
+``block_until_ready`` (reference benchmark.py:24-33).  On a TPU reached
+through a relay (as in this environment) that measures the ~30 ms
+per-call round trip, not the chip.  ``slope_time`` instead iterates the
+workload R times *inside one jit* -- with a data dependency between
+iterations so XLA cannot collapse them -- and reports the slope between
+R=reps and R=1: pure on-device time per iteration.
+"""
+
+import functools
+import time
+from typing import Callable
+
+import numpy as np
+
+
+def slope_time(
+    fn: Callable,
+    *args,
+    reps: int = 8,
+    outer: int = 5,
+    feedback_scale: float = 1e-12,
+):
+    """On-device seconds per evaluation of ``fn(*args)``.
+
+    ``fn`` must map its first argument (an array) to an array of the
+    same shape (or something summable); iterations are chained through
+    a tiny feedback term so the compiler cannot dedupe them.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    first, *rest = args
+
+    def repeated(first, reps):
+        def body(_i, carry):
+            x, acc = carry
+            out = fn(x, *rest)
+            out_flat = jax.flatten_util.ravel_pytree(out)[0]
+            feedback = jnp.reshape(out_flat, -1)[: jnp.size(first)]
+            feedback = jnp.reshape(feedback, jnp.shape(first)) if (
+                jnp.size(first) == jnp.size(feedback)
+            ) else jnp.zeros_like(first)
+            return x + feedback_scale * feedback, acc + jnp.sum(out_flat)
+
+        _x, acc = jax.lax.fori_loop(0, reps, body, (first, 0.0))
+        return acc
+
+    fn_many = jax.jit(functools.partial(repeated, reps=reps))
+    fn_one = jax.jit(functools.partial(repeated, reps=1))
+    np.asarray(fn_many(first))  # compile + execute once
+    np.asarray(fn_one(first))
+
+    t_many, t_one = [], []
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        np.asarray(fn_many(first))
+        t_many.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(fn_one(first))
+        t_one.append(time.perf_counter() - t0)
+    return (float(np.median(t_many)) - float(np.median(t_one))) / (reps - 1)
+
+
+def wallclock_time(fn: Callable, *args, repeats: int = 5):
+    """Reference-style host wall-clock (includes dispatch/transfer)."""
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
