@@ -35,7 +35,7 @@ import numpy as np
 
 BASELINE_S = 0.098  # V100: custom-adjoint VJP, K=90, bcsstk18 (BASELINE.md)
 K = 90
-REPS = 8
+REPS = 32
 
 
 def _laplacian_2d(m):
@@ -71,8 +71,18 @@ def main():
         file=sys.stderr,
     )
 
-    factorise = krylov.tridiag(matvec, K, reortho="none", custom_vjp=True)
+    # The DIA fast path: forward and adjoint each run as ONE fused Pallas
+    # kernel (ops/pallas_lanczos.py); gradients are identical to the
+    # generic krylov.tridiag custom VJP (tests/test_ops/test_pallas_lanczos.py).
+    from lanczos_adjoints_tpu.ops import pallas_lanczos
+
+    dia = sparse.dia_pack(mat)
+    dia_values = sparse.dia_values(dia, mat.data).astype(jnp.float32)
+    factorise = pallas_lanczos.tridiag_dia_fused(dia, K)
+    values = dia_values
     v0 = jnp.ones((mat.shape[0],), jnp.float32)
+
+    factorise_xla = krylov.tridiag(matvec, K, reortho="none", custom_vjp=True)
 
     def one_vjp(v, vals):
         out, vjp = jax.vjp(factorise, v, vals)
@@ -111,9 +121,42 @@ def main():
 
     t = (float(np.median(t_many)) - float(np.median(t_one))) / (REPS - 1)
     print(
-        f"fwd+adjoint K={K}: {t * 1e3:.3f} ms/iter on-device "
+        f"fwd+adjoint K={K} (fused Pallas): {t * 1e3:.3f} ms/iter on-device "
         f"(reps={REPS}: {np.median(t_many) * 1e3:.1f} ms, reps=1: "
         f"{np.median(t_one) * 1e3:.1f} ms incl. ~30 ms tunnel RTT)",
+        file=sys.stderr,
+    )
+
+    # Secondary: the generic XLA-scan path (portable, any operator).
+    def one_vjp_xla(v, vals):
+        out, vjp = jax.vjp(factorise_xla, v, vals)
+        flat, unflatten = jax.flatten_util.ravel_pytree(out)
+        return vjp(unflatten(jnp.ones_like(flat)))
+
+    def repeated_xla(v, vals, reps):
+        def body(_i, carry):
+            v, acc = carry
+            dv, dvals = one_vjp_xla(v, vals)
+            return v + 1e-12 * dv, acc + jnp.sum(dvals)
+
+        _v, acc = jax.lax.fori_loop(0, reps, body, (v, 0.0))
+        return acc
+
+    fx_many = jax.jit(functools.partial(repeated_xla, reps=REPS))
+    fx_one = jax.jit(functools.partial(repeated_xla, reps=1))
+    np.asarray(fx_many(v0, values))
+    np.asarray(fx_one(v0, values))
+    tx_many, tx_one = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fx_many(v0, values))
+        tx_many.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(fx_one(v0, values))
+        tx_one.append(time.perf_counter() - t0)
+    t_xla = (float(np.median(tx_many)) - float(np.median(tx_one))) / (REPS - 1)
+    print(
+        f"fwd+adjoint K={K} (generic XLA scan): {t_xla * 1e3:.3f} ms/iter",
         file=sys.stderr,
     )
 
