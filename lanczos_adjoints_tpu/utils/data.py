@@ -68,7 +68,7 @@ def load_uci_data(name: str, *, split: int = 0, root="./data/uci", verbose=False
     for cand in candidates:
         data_path = os.path.join(cand, name, "data.csv.gz")
         mask_path = os.path.join(cand, name, "test_mask.csv.gz")
-        if os.path.exists(data_path):
+        if os.path.exists(data_path) and os.path.getsize(data_path) > 0:
             frame = pd.read_csv(data_path, header=None).values.astype(np.float64)
             masks = pd.read_csv(mask_path, header=None).values.astype(np.int64)
             inputs, targets = frame[:, :-1], frame[:, -1]

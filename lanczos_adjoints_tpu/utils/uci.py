@@ -40,7 +40,7 @@ def _from_cache(name: str):
 def _from_csv(name: str):
     for root in _CSV_SEARCH_PATHS:
         path = os.path.join(root, name, "data.csv.gz")
-        if os.path.exists(path):
+        if os.path.exists(path) and os.path.getsize(path) > 0:
             import pandas as pd
 
             frame = pd.read_csv(path, header=None).values.astype(np.float64)
