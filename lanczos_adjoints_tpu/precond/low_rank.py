@@ -110,11 +110,11 @@ def cholesky_partial_pivot(*, rank: int) -> Callable:
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=[0, 1])
     def _cholesky(element: Callable, n: int, *params):
-        body = _pivot_body(element, n, rank, *params)
+        body, initial_diag = _pivot_body(element, n, rank, *params)
         L = jnp.zeros((n, rank))
         perm = jnp.arange(n)
-        init = (L, perm, perm, True)
-        L, perm, _matrix_perm, success = jax.lax.fori_loop(0, rank, body, init)
+        init = (L, perm, perm, initial_diag(perm), True)
+        L, perm, _mp, _rd, success = jax.lax.fori_loop(0, rank, body, init)
         return _unpermute_rows(L, perm), {"success": success}
 
     def _fwd(*args):
@@ -129,33 +129,45 @@ def cholesky_partial_pivot(*, rank: int) -> Callable:
 
 
 def _pivot_body(element: Callable, n: int, rank: int, *params):
+    """Pivoted partial-Cholesky step with an incrementally-tracked
+    residual diagonal.
+
+    The reference (low_rank.py:159-210) recomputes the full diagonal and
+    the row-norms of L every step -- O(n) lazy-kernel evaluations plus an
+    O(n * rank) re-read of L per step, which dominates GP training time
+    at rank ~500.  Tracking ``residual_diag`` in the carry (swap on
+    pivot, subtract the new column's square) is mathematically identical
+    and leaves one kernel-column evaluation as the only O(n) work per
+    step.
+    """
     all_idx = jnp.arange(n)
 
     def column_p(i, permute):
         return jax.vmap(lambda j: element(permute[j], permute[i], *params))(all_idx)
 
-    def diagonal_p(permute):
-        return jax.vmap(lambda j: element(permute[j], permute[j], *params))(all_idx)
-
     def body(i, carry):
-        L, perm, matrix_perm, success = carry
+        L, perm, matrix_perm, residual_diag, success = carry
 
-        residual_diag = diagonal_p(matrix_perm) - jax.vmap(jnp.dot)(L, L)
         k = jnp.argmax(jnp.abs(residual_diag))
 
         matrix_perm = _swap(matrix_perm, i, k)
         L = _swap_rows(L, i, k)
         perm = _swap(perm, i, k)
+        residual_diag = _swap(residual_diag, i, k)
 
-        diag_el = element(matrix_perm[i], matrix_perm[i], *params)
-        pivot_sq = diag_el - jnp.dot(L[i], L[i])
+        pivot_sq = residual_diag[i]
         pivot = jnp.sqrt(pivot_sq)
         col = column_p(i, matrix_perm) - L @ L[i, :]
+        col = col / pivot
         success = jnp.logical_and(success, pivot_sq > 0.0)
 
-        return L.at[:, i].set(col / pivot), perm, matrix_perm, success
+        residual_diag = residual_diag - col**2
+        return L.at[:, i].set(col), perm, matrix_perm, residual_diag, success
 
-    return body
+    def initial_diag(permute):
+        return jax.vmap(lambda j: element(permute[j], permute[j], *params))(all_idx)
+
+    return body, initial_diag
 
 
 def _swap(arr, i, j):
