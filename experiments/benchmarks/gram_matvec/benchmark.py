@@ -56,6 +56,11 @@ if __name__ == "__main__":
                         default=[4096, 16384, 65536])
     parser.add_argument("--data_dim", type=int, default=1)
     parser.add_argument("--num_partitions", type=int, default=16)
+    parser.add_argument(
+        "--datasets", type=str, nargs="*", default=[],
+        help="also benchmark on bundled UCI datasets (reference "
+             "benchmark_datasets.py analog)",
+    )
     args = parser.parse_args()
     print(args)
 
@@ -66,10 +71,20 @@ if __name__ == "__main__":
         raw_lengthscale=jnp.zeros((args.data_dim,)), raw_outputscale=jnp.zeros(())
     )
 
+    from lanczos_adjoints_tpu.utils import uci as uci_module
+
+    cases = [("synthetic", n, None) for n in args.data_sizes]
+    for name in args.datasets:
+        X, _y = getattr(uci_module, f"uci_{name}")(normalize=True)
+        cases.append((name, len(X), jnp.asarray(X, jnp.float32)))
+
     results = []
-    for n in args.data_sizes:
+    for label, n, data in cases:
         key = jax.random.PRNGKey(0)
-        x = jax.random.normal(key, (n, args.data_dim), dtype=jnp.float32)
+        if data is None:
+            x = jax.random.normal(key, (n, args.data_dim), dtype=jnp.float32)
+        else:
+            x = data
         v = jax.random.normal(key, (n,), dtype=jnp.float32)
 
         policies = {"vmap": gp.gram_matvec()}
@@ -77,14 +92,29 @@ if __name__ == "__main__":
             policies[f"partitioned({args.num_partitions})"] = (
                 gp.gram_matvec_partitioned(args.num_partitions, checkpoint=False)
             )
+        if data is not None:
+            kernel_case, _ = gp.kernel_scaled_rbf(
+                shape_in=(x.shape[1],), shape_out=()
+            )
+            kern = kernel_case(
+                raw_lengthscale=jnp.zeros((x.shape[1],)),
+                raw_outputscale=jnp.zeros(()),
+            )
+        else:
+            kern = kernel
         for name, policy in policies.items():
             try:
-                t = time_matvec(policy(kernel), x, v)
+                t = time_matvec(policy(kern), x, v)
                 gcells = n * n / t / 1e9
-                print(f"N={n} {name}: {t * 1e3:.3f} ms ({gcells:.1f} Gcells/s)")
-                results.append({"n": n, "policy": name, "time_s": t})
+                print(
+                    f"{label} N={n} {name}: {t * 1e3:.3f} ms "
+                    f"({gcells:.1f} Gcells/s)"
+                )
+                results.append(
+                    {"case": label, "n": n, "policy": name, "time_s": t}
+                )
             except Exception as err:  # noqa: BLE001  (OOM at large N)
-                print(f"N={n} {name}: failed ({type(err).__name__})")
+                print(f"{label} N={n} {name}: failed ({type(err).__name__})")
 
     directory = exp_util.matching_directory(__file__, "results/")
     os.makedirs(directory, exist_ok=True)
