@@ -16,6 +16,12 @@ from lanczos_adjoints_tpu.ops.gram import (  # noqa: F401
     gram_matvec_partitioned,
     gram_matvec_sequential,
 )
+from lanczos_adjoints_tpu.ops.pallas_gram import (  # noqa: F401
+    gram_matvec_fused,
+)
+from lanczos_adjoints_tpu.ops.pallas_lanczos import (  # noqa: F401
+    tridiag_dia_fused,
+)
 from lanczos_adjoints_tpu.ops.sparse import (  # noqa: F401
     CSRMatrix,
     csr_from_coo,
