@@ -83,8 +83,14 @@ def run(args, *, script_file, solver_mode: str):
     else:
         solve_p = solvers.pcg_fixed_step(args.num_matvecs)
     sample = trace.sampler_rademacher(jnp.ones((len(train_x),)), num=1)
+    from lanczos_adjoints_tpu.trace.slq import log_clipped
+
     logdet = gp.krylov_logdet_slq(
-        args.num_matvecs, sample=sample, num_batches=args.num_samples, checkpoint=True
+        args.num_matvecs,
+        sample=sample,
+        num_batches=args.num_samples,
+        checkpoint=True,
+        matfun=log_clipped(),
     )
     rank_precon = int(min(args.rank_precon, len(train_x)))
     cholesky = precond.cholesky_partial_pivot(rank=rank_precon)
@@ -154,7 +160,11 @@ def run(args, *, script_file, solver_mode: str):
         )
         return postmean(x)
 
-    optimizer = optax.adam(args.learning_rate)
+    # NaN-robust: skip updates whose gradients are non-finite (loose-
+    # tolerance CG + stochastic logdet can produce occasional bad steps).
+    optimizer = optax.apply_if_finite(
+        optax.adam(args.learning_rate), max_consecutive_errors=25
+    )
     state = optimizer.init(p_opt)
     value_and_grad = jax.jit(jax.value_and_grad(mll_lanczos, argnums=0, has_aux=True))
 

@@ -36,6 +36,11 @@ if __name__ == "__main__":
     parser.add_argument("--num_epochs", type=int, default=100)
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--learning_rate", type=float, default=1e-2)
+    parser.add_argument(
+        "--output_scale_raw", type=float, default=0.0,
+        help="raw (pre-softplus) output scale of the field MLP; must "
+             "cover the wave-speed magnitude of the data",
+    )
     args = parser.parse_args()
     print(args)
 
@@ -66,7 +71,8 @@ if __name__ == "__main__":
         solve = pde.solver_euler(ts, lambda y, scale: parametrize(scale=scale)(y))
 
     init, apply = pde.model_mlp(
-        mesh, (500, 500, 1), activation=jnp.tanh, output_scale_raw=-4.0
+        mesh, (500, 500, 1), activation=jnp.tanh,
+        output_scale_raw=args.output_scale_raw,
     )
     params, unflatten = init(jax.random.PRNGKey(args.seed))
     loss_mse = pde.loss_mse_relative(nugget=1e-4)

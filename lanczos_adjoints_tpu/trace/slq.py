@@ -15,13 +15,37 @@ from lanczos_adjoints_tpu.krylov import lanczos
 from lanczos_adjoints_tpu.trace.hutchinson import hutchinson as _hutchinson
 
 
+def log_clipped(*, clip_value: float = 1.0) -> Callable:
+    """log with tiny/negative Ritz values clipped (f32 SLQ robustness).
+
+    Negative Ritz values appear when the operator is numerically
+    singular at f32; plain log turns the whole estimate into NaN.
+    """
+
+    def log(x):
+        eps = jnp.finfo(x.dtype).eps
+        return jnp.log(jnp.where(x < eps, clip_value, x))
+
+    return log
+
+
 def krylov_logdet_slq(
-    krylov_depth: int, /, *, sample: Callable, num_batches: int, checkpoint: bool
+    krylov_depth: int,
+    /,
+    *,
+    sample: Callable,
+    num_batches: int,
+    checkpoint: bool,
+    matfun: Callable = jnp.log,
 ) -> Callable:
-    """SLQ estimator of ``logdet(A)`` differentiable via Lanczos adjoints."""
+    """SLQ estimator of ``logdet(A)`` differentiable via Lanczos adjoints.
+
+    ``matfun`` defaults to plain ``jnp.log`` (reference behaviour); pass
+    ``log_clipped()`` for NaN-robust training on near-singular spectra.
+    """
 
     def logdet(matvec: Callable, /, key):
-        integrand = lanczos.integrand_spd(jnp.log, krylov_depth, matvec)
+        integrand = lanczos.integrand_spd(matfun, krylov_depth, matvec)
         estimate = _hutchinson(integrand, sample)
 
         if num_batches == 1:
