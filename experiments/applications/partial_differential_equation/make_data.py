@@ -63,8 +63,10 @@ if __name__ == "__main__":
     sample_field = pde.sampler_lanczos(
         mean=jnp.zeros(n * n), cov_matvec=cov_matvec, num=1, lanczos_rank=30
     )
-    # Scale to keep the wave speeds CFL-stable for the reference solver.
-    scale_field = 0.25 * sample_field(k1)[0].reshape(n, n)
+    # Tiny wave speeds, as in the reference (its GRF uses
+    # raw_outputscale=-10 => field ~0.007): keeps t * spectral-radius
+    # at O(1) so a depth-10 Krylov expm resolves the dynamics.
+    scale_field = 0.007 * sample_field(k1)[0].reshape(n, n)
 
     parametrize, _ = pde.pde_wave_anisotropic(
         scale_field,

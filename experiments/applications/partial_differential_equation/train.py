@@ -37,7 +37,7 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--learning_rate", type=float, default=1e-2)
     parser.add_argument(
-        "--output_scale_raw", type=float, default=0.0,
+        "--output_scale_raw", type=float, default=-5.0,
         help="raw (pre-softplus) output scale of the field MLP; must "
              "cover the wave-speed magnitude of the data",
     )
