@@ -242,7 +242,8 @@ def gram_matvec_fused(kind: str):
 
     Differentiable w.r.t. ``v``, ``lengthscale`` and ``outputscale``
     (not the data); the backward pass streams the tiles again instead
-    of storing them.
+    of storing them.  ``lengthscale`` is a scalar (isotropic kernels);
+    the ARD kernels in ``models.gp`` use the XLA policies.
     """
 
     @jax.custom_vjp

@@ -191,3 +191,35 @@ def test_kernel_shape_validation():
     k = kernel(raw_lengthscale=jnp.zeros(3), raw_outputscale=jnp.asarray(0.0))
     with pytest.raises(ValueError, match="shape"):
         k(jnp.zeros(2), jnp.zeros(2))
+
+
+def test_posterior_mean_preconditioned_matches_plain():
+    inputs, targets, model, pm, pk, pl = _setup(gp.kernel_scaled_rbf)
+
+    constrain = gp.constraint_greater_than(0.0)
+    solve = solvers.pcg_adaptive(atol=1e-6, rtol=0.0, maxiter=200, miniter=2)
+    cholesky = precond.cholesky_partial_pivot(rank=3)
+    precondition = precond.preconditioner(cholesky)
+
+    lik_plain, _ = gp.likelihood_condition(
+        gp.gram_matvec(),
+        solvers.cg_adaptive(atol=1e-6, rtol=1e-6, maxiter=200, miniter=2),
+        constrain=constrain,
+    )
+    lik_pre, _ = gp.likelihood_condition_p(
+        gp.gram_matvec(), solve, precondition=precondition, constrain=constrain
+    )
+
+    xs = inputs[:3] + 0.05
+
+    def posterior_mean(likelihood):
+        posterior = gp.target_posterior(model, likelihood)
+        condition, _ = posterior(
+            inputs, targets, params_mean=pm, params_kernel=pk, params_likelihood=pl
+        )
+        mean, _info = condition(xs)
+        return mean
+
+    mean_plain = posterior_mean(lik_plain)
+    mean_pre = posterior_mean(lik_pre)
+    assert jnp.allclose(mean_plain, mean_pre, atol=1e-3, rtol=1e-3)
