@@ -64,6 +64,21 @@ def slope_time(
     return (float(np.median(t_many)) - float(np.median(t_one))) / (reps - 1)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def profile_to(log_dir: str):
+    """Capture a jax.profiler trace (TensorBoard format) for the block."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
 def wallclock_time(fn: Callable, *args, repeats: int = 5):
     """Reference-style host wall-clock (includes dispatch/transfer)."""
     import jax
