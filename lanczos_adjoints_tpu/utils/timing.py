@@ -9,6 +9,7 @@ iterations so XLA cannot collapse them -- and reports the slope between
 R=reps and R=1: pure on-device time per iteration.
 """
 
+import contextlib
 import functools
 import time
 from typing import Callable
@@ -62,9 +63,6 @@ def slope_time(
         np.asarray(fn_one(first))
         t_one.append(time.perf_counter() - t0)
     return (float(np.median(t_many)) - float(np.median(t_one))) / (reps - 1)
-
-
-import contextlib
 
 
 @contextlib.contextmanager
