@@ -271,3 +271,85 @@ def get_places365(
             "label": np.stack([np.asarray(lbl) for _, lbl in batch]),
         },
     )
+
+
+def imagenet_testset(
+    root_dir: str,
+    label_file: str,
+    *,
+    transform=None,
+    target_transform=None,
+):
+    """ImageNet validation set from a folder + "<file> <label>" list file.
+
+    Parity with the reference's ``Imagenet_testset``
+    (data_util.py:395-434); paths are arguments instead of hard-coded
+    cluster locations.
+    """
+    _require_torchvision()
+    import torch
+    from PIL import Image
+
+    class _ImagenetTestset(torch.utils.data.Dataset):
+        def __init__(self):
+            with open(label_file) as fp:
+                self.entries = [ln.split() for ln in fp if ln.strip()]
+
+        def __len__(self):
+            return len(self.entries)
+
+        def __getitem__(self, idx):
+            fname, label = self.entries[idx][0], int(self.entries[idx][1])
+            image = Image.open(os.path.join(root_dir, fname))
+            if image.mode != "RGB":
+                image = image.convert("RGB")
+            if transform is not None:
+                image = transform(image)
+            if target_transform is not None:
+                label = target_transform(label)
+            return image, label
+
+    return _ImagenetTestset()
+
+
+# Reference-compatible alias.
+Imagenet_testset = imagenet_testset
+
+
+def get_imagenet_test_loader(
+    batch_size: int,
+    *,
+    root_dir: str,
+    label_file: str,
+    num_workers: int = 0,
+    n_classes: int = 1000,
+    seed: int = 0,
+):
+    """DataLoader over :func:`imagenet_testset` with one-hot labels."""
+    _require_torchvision()
+    import torch
+    import torchvision.transforms as T
+
+    set_seed(seed)
+    tf = T.Compose(
+        [
+            T.Resize(256),
+            T.CenterCrop(224),
+            T.ToTensor(),
+            T.Normalize(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)),
+        ]
+    )
+
+    def to_one_hot(target):
+        return np.eye(n_classes, dtype=np.float32)[target]
+
+    dataset = imagenet_testset(
+        root_dir, label_file, transform=tf, target_transform=to_one_hot
+    )
+    return torch.utils.data.DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=False,
+        num_workers=num_workers,
+        collate_fn=numpy_collate_fn,
+    )
