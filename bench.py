@@ -28,6 +28,7 @@ Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 
 import functools
 import json
+import subprocess
 import sys
 import time
 
@@ -56,9 +57,37 @@ def _laplacian_2d(m):
     )
 
 
+def _wait_for_tpu(max_wait_s: int = 1800, probe_timeout_s: int = 90):
+    """Block until the TPU answers a trivial matmul (worker restarts in
+    this environment can leave clients hanging for tens of minutes)."""
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0]))"
+    )
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if out.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("TPU probe kept failing; proceeding anyway", file=sys.stderr)
+            return
+        print("TPU not responding; retrying in 60 s", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _wait_for_tpu()
 
     from lanczos_adjoints_tpu import krylov
     from lanczos_adjoints_tpu.ops import sparse
