@@ -1,0 +1,94 @@
+"""SpMV throughput across the sparse-engine formats (DIA / BSR / ELL).
+
+Produces the format-comparison table in RESULTS.md reproducibly:
+matvec and VJP throughput (true nnz/s and effective HBM bandwidth) of
+each device layout on stencil and scattered sparsity patterns, using
+the on-device R-slope protocol.
+"""
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lanczos_adjoints_tpu.ops import sparse
+from lanczos_adjoints_tpu.utils import exp_util, timing
+
+
+def laplacian_2d(m):
+    n = m * m
+    idx = np.arange(n)
+    rows, cols, vals = [idx], [idx], [4.0 * np.ones(n)]
+    i, j = idx // m, idx % m
+    for di, dj in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+        ni, nj = i + di, j + dj
+        ok = (ni >= 0) & (ni < m) & (nj >= 0) & (nj < m)
+        rows.append(idx[ok])
+        cols.append((ni * m + nj)[ok])
+        vals.append(-1.0 * np.ones(ok.sum()))
+    return sparse.csr_from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), shape=(n, n)
+    )
+
+
+def random_csr(n, nnz_per_row, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), nnz_per_row)
+    cols = rng.integers(0, n, len(rows))
+    vals = rng.normal(size=len(rows))
+    return sparse.csr_from_coo(rows, cols, vals, shape=(n, n))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--grid", type=int, default=1024)
+    parser.add_argument("--random_n", type=int, default=65536)
+    parser.add_argument("--random_nnz_per_row", type=int, default=8)
+    args = parser.parse_args()
+    print(args)
+
+    cases = [
+        ("laplacian_2d", laplacian_2d(args.grid), ["dia", "bsr", "ell"]),
+        (
+            "random",
+            random_csr(args.random_n, args.random_nnz_per_row),
+            ["ell"],
+        ),
+    ]
+
+    results = []
+    for case_name, mat, formats in cases:
+        v = jnp.ones((mat.shape[0],), jnp.float32)
+        for fmt in formats:
+            try:
+                matvec, values, info = sparse.sparse_operator(
+                    mat, format=fmt, with_info=True
+                )
+            except Exception as err:  # noqa: BLE001
+                print(f"{case_name}/{fmt}: pack failed ({type(err).__name__})")
+                continue
+            t = timing.slope_time(lambda x: matvec(x, values), v, reps=8)
+            nnz_s = mat.nnz / t
+            bw = info.bytes_per_matvec / t
+            print(
+                f"{case_name}/{fmt}: {t * 1e3:.3f} ms/matvec "
+                f"({nnz_s / 1e9:.2f} Gnnz/s, {bw / 1e9:.0f} GB/s eff, "
+                f"fill {info.fill_efficiency:.3f})"
+            )
+            results.append(
+                {
+                    "case": case_name,
+                    "format": fmt,
+                    "time_s": t,
+                    "nnz_per_s": nnz_s,
+                    "fill": info.fill_efficiency,
+                }
+            )
+
+    directory = exp_util.matching_directory(__file__, "results/")
+    os.makedirs(directory, exist_ok=True)
+    with open(f"{directory}formats.json", "w") as fp:
+        json.dump(results, fp, indent=2)
