@@ -57,7 +57,7 @@ def _laplacian_2d(m):
     )
 
 
-def _wait_for_tpu(max_wait_s: int = 3600, probe_timeout_s: int = 90):
+def _wait_for_tpu(max_wait_s: int = 3600, probe_timeout_s: int = 300):
     """Block until the TPU answers a trivial matmul (worker restarts in
     this environment can leave clients hanging for tens of minutes)."""
     probe = (
