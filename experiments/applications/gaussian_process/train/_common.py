@@ -49,11 +49,14 @@ def build_argparser(parser):
     parser.add_argument("--learning_rate", type=float, default=0.05)
     parser.add_argument("--checkpoint_every", type=int, default=0)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return parser
 
 
 def run(args, *, script_file, solver_mode: str):
     """Train GP hyperparameters; ``solver_mode`` is 'adaptive' or 'fixed'."""
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
     noise_minval = 1e-4
     key = jax.random.PRNGKey(args.seed)
     key, subkey = jax.random.split(key)

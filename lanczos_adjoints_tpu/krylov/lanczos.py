@@ -104,6 +104,12 @@ def _tridiag_via_arnoldi(matvec, krylov_depth, /, *, custom_vjp):
 
 def _tridiag_plain(matvec, krylov_depth, /, *, custom_vjp, scan_unroll=8):
     def estimate(vec, *params):
+        if not 0 < krylov_depth <= len(vec):
+            msg = (
+                f"Parameter depth {krylov_depth} is outside the expected "
+                f"range (0, {len(vec)}]"
+            )
+            raise ValueError(msg)
         decomposition, remainder, _inv_norm = _forward(
             matvec, krylov_depth, vec, *params, unroll=scan_unroll
         )

@@ -93,7 +93,13 @@ def metric_ece(*, probs, labels_hot, num_bins):
     preds = probs.argmax(axis=1)
     labels = labels_hot.argmax(axis=1)
     confs = jnp.max(probs, axis=1)
-    conf_idxs = jnp.digitize(confs, bins=bins)
+    # digitize returns 1..num_bins for in-range values (and num_bins+1
+    # for conf == 1.0 exactly); shift to 0-based and clamp so the top
+    # bin keeps its members.  The reference compares the 1-based index
+    # against 0-based bin ids (bnn_util.py:71-82), which silently drops
+    # bin boundaries' most-confident samples -- fixed here, divergence
+    # documented in COMPONENTS.md.
+    conf_idxs = jnp.clip(jnp.digitize(confs, bins=bins) - 1, 0, num_bins - 1)
 
     bin_ids = jnp.arange(num_bins)
     member = conf_idxs[None, :] == bin_ids[:, None]  # (num_bins, n)
@@ -174,39 +180,178 @@ def slq_log_clipped(*, clip_value=1.0):
     return log
 
 
+def _slq_mean(integrand, sampler, key, num_batches, *args):
+    """Average a Hutchinson-SLQ estimate over sequential key batches.
+
+    Probes within a batch are vmapped by the sampler; batches beyond
+    the first run under ``lax.map`` so memory stays one batch wide.
+    """
+    estimate = _hutchinson(integrand, sampler)
+    if num_batches == 1:
+        return estimate(key, *args)
+    keys = jax.random.split(key, num=num_batches)
+    return jnp.mean(jax.lax.map(lambda k: estimate(k, *args), keys), axis=0)
+
+
 def solver_logdet_slq(*, lanczos_rank, slq_num_samples, slq_num_batches):
     """SLQ logdet of a dense matrix (clipped log for robustness)."""
 
     def logdet(M: jax.Array, key):
-        x_like = jnp.ones((len(M),), dtype=M.dtype)
-        sampler = _sampler_rademacher(x_like, num=slq_num_samples)
+        sampler = _sampler_rademacher(jnp.ones((len(M),), dtype=M.dtype), num=slq_num_samples)
         integrand = lanczos.integrand_spd(
             slq_log_clipped(), lanczos_rank, lambda v: M @ v
         )
-        estimate = _hutchinson(integrand, sampler)
-        keys = jax.random.split(key, num=slq_num_batches)
-        return jnp.mean(jax.lax.map(estimate, keys), axis=0)
+        return _slq_mean(integrand, sampler, key, slq_num_batches)
 
     return logdet
 
 
 def solver_logdet_slq_implicit(*, lanczos_rank, slq_num_samples, slq_num_batches, N):
     """SLQ logdet of an implicit (matvec-only) operator."""
-    x_like = jnp.ones((N,), dtype=float)
-    sampler = _sampler_rademacher(x_like, num=slq_num_samples)
+    sampler = _sampler_rademacher(jnp.ones((N,), dtype=float), num=slq_num_samples)
 
     def logdet(Av: Callable, key, *args):
         integrand = lanczos.integrand_spd(jnp.log, lanczos_rank, Av)
-        estimate = _hutchinson(integrand, sampler)
-        keys = jax.random.split(key, num=slq_num_batches)
-        return jnp.mean(jax.lax.map(lambda k: estimate(k, *args), keys), axis=0)
+        return _slq_mean(integrand, sampler, key, slq_num_batches, *args)
 
     return logdet
 
 
 # ---------------------------------------------------------------------------
 # GGN operators
+#
+# The GGN of a sum-loss factorises as  G = J^T H J  with J the Jacobian
+# of the *batched* network apply and H the block-diagonal of per-sample
+# loss Hessians.  All operators below are built from one linearisation
+# of the batched apply -- two network passes per matvec, with the batch
+# dimension inside each pass so every layer runs as one large MXU
+# matmul.  (The reference instead vmaps singleton-batch linearisations,
+# bnn_util.py:263-293; the two are mathematically identical, and this
+# framework's tests pin them against the materialised `ggn_full`.)
 # ---------------------------------------------------------------------------
+
+
+def _linearize_batched(model_fun, param_unflatten, params_vec, x_batch):
+    """Linearise the batched apply around flat params, once.
+
+    Returns ``(preds, jvp, vjp)`` with flat-vector calling conventions:
+    ``jvp: (P,) -> (B, O)`` and ``vjp: (B, O) -> (P,)``.
+    """
+
+    def apply_flat(p_vec):
+        return model_fun(param_unflatten(p_vec), x_batch)
+
+    preds, jvp = jax.linearize(apply_flat, params_vec)
+    transpose = jax.linear_transpose(jvp, params_vec)
+    return preds, jvp, lambda cotangent: transpose(cotangent)[0]
+
+
+def _loss_hessians(loss_single, preds, y_batch):
+    """Per-sample Hessians of the loss in output space: (B, O, O)."""
+    return jax.vmap(jax.hessian(loss_single, argnums=0))(preds, y_batch)
+
+
+def ggn_vp(*, loss_single, model_fun, param_unflatten):
+    """GGN-vector product ``v -> J^T H J v`` from one batched linearisation.
+
+    Flat vector in, flat vector out; the sum over the batch happens
+    inside the transposed Jacobian apply (no per-sample loop at all).
+    """
+
+    def gvp(v_vec, params_vec, x_batch, y_batch):
+        preds, jvp, vjp = _linearize_batched(
+            model_fun, param_unflatten, params_vec, x_batch
+        )
+        Jv = jvp(v_vec)
+        H = _loss_hessians(loss_single, preds, y_batch)
+        return vjp(jnp.einsum("boi,bi->bo", H, Jv))
+
+    return gvp
+
+
+# Reference-parity name (bnn_util.py:263): the "parallel" strategy is
+# simply the batched operator here.
+ggn_vp_parallel = ggn_vp
+
+
+def ggn_vp_running(*, loss_single, model_fun, param_unflatten, chunk_size=1):
+    """Low-memory GGN-vector product: scan over batch chunks.
+
+    Splits the batch into ``chunk_size``-sized pieces, applies the
+    batched operator per piece, and accumulates the flat result under
+    ``lax.scan`` so peak memory is one chunk's activations.
+    """
+    chunked = ggn_vp(
+        loss_single=loss_single, model_fun=model_fun, param_unflatten=param_unflatten
+    )
+
+    def gvp(v_vec, params_vec, x_batch, y_batch):
+        num = x_batch.shape[0] // chunk_size
+        x_chunks = x_batch[: num * chunk_size].reshape(num, chunk_size, *x_batch.shape[1:])
+        y_chunks = y_batch[: num * chunk_size].reshape(num, chunk_size, *y_batch.shape[1:])
+
+        def body(acc, chunk):
+            x, y = chunk
+            return acc + chunked(v_vec, params_vec, x, y), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros_like(v_vec), (x_chunks, y_chunks))
+        return out
+
+    return gvp
+
+
+def kernel_vp(*, loss_single, model_fun, param_unflatten):
+    """Batched NTK-form product: ``v -> H J J^T H^{1/2} v`` over the batch.
+
+    Output-space operator for the kernel trick (O(B*O) instead of O(P)
+    Krylov vectors).  Uses the full batched Jacobian, so cross-sample
+    NTK entries are included.  The reference's `kernel_vp_parallel`
+    (bnn_util.py:296-322) instead broadcasts one output cotangent to
+    every sample and keeps only per-sample (block-diagonal) products;
+    that variant is kept below for parity.
+    """
+
+    def kvp(v_outs, params_vec, x_batch, y_batch):
+        preds, jvp, vjp = _linearize_batched(
+            model_fun, param_unflatten, params_vec, x_batch
+        )
+        H = _loss_hessians(loss_single, preds, y_batch)
+        Hv = jnp.einsum("boi,bi->bo", jnp.linalg.cholesky(H), v_outs)
+        JJtHv = jvp(vjp(Hv))
+        return jnp.einsum("boi,bi->bo", H, JJtHv)
+
+    return kvp
+
+
+def kernel_vp_parallel(*, loss_single, model_fun, param_unflatten):
+    """Per-sample (block-diagonal) NTK product, reference semantics.
+
+    Each sample contributes ``H_b J_b J_b^T H_b^{1/2} v`` with only its
+    own Jacobian row -- no cross-sample terms.  ``v`` has the shape of
+    a single sample's output.  See `kernel_vp` for the full-batch form.
+    """
+
+    def kvp_single(params, x_single, y_single, v_outs, *, get_hessian):
+        # Singleton linearisation: this operator is per-sample by
+        # definition, so there is no batched formulation to prefer.
+        apply_one = lambda p: model_fun(p, x_single[None, ...])  # noqa: E731
+        preds, jvp_one = jax.linearize(apply_one, params)
+        vjp_one = jax.linear_transpose(jvp_one, params)
+        H = get_hessian(preds, y_single[None, ...])
+        Hv = jnp.einsum("boi,bi->bo", jnp.linalg.cholesky(H), v_outs[None, ...])
+        (JtHv,) = vjp_one(Hv)
+        JJtHv = jvp_one(JtHv)
+        return jnp.einsum("boi,bi->bo", H, JJtHv)[0]
+
+    def kvp(v_like_outs, params_vec, x_batch, y_batch):
+        params = param_unflatten(params_vec)
+        get_hessian = functools.partial(_loss_hessians, loss_single)
+        single = functools.partial(
+            kvp_single, params, v_outs=v_like_outs, get_hessian=get_hessian
+        )
+        return jax.vmap(single)(x_batch, y_batch).sum(axis=0)
+
+    return kvp
 
 
 def ggn_full(*, loss_single, model_fun, param_unflatten):
@@ -214,10 +359,9 @@ def ggn_full(*, loss_single, model_fun, param_unflatten):
 
     def ggn_fun(alpha, variables, x_train, y_train):
         preds = model_fun(param_unflatten(variables), x_train)
-        H = jax.vmap(jax.hessian(loss_single, argnums=0))(preds, y_train)
+        H = _loss_hessians(loss_single, preds, y_train)
         J = jax.jacfwd(lambda v: model_fun(param_unflatten(v), x_train))(variables)
-        summands = jax.vmap(lambda j, h: j.T @ h @ j)(J, H)
-        return jnp.sum(summands, axis=0) + alpha * jnp.eye(J.shape[-1])
+        return jnp.einsum("bop,boq,bqr->pr", J, H, J) + alpha * jnp.eye(J.shape[-1])
 
     return ggn_fun
 
@@ -233,114 +377,35 @@ def ggn_diag(*, loss_single, model_fun, param_unflatten):
     return ggn_fun
 
 
-def ggn_vp_running(*, loss_single, model_fun, param_unflatten):
-    """GGN-vector product accumulated sequentially over the batch (low memory).
-
-    ``model_fun`` takes the unflattened parameter tree (same convention
-    as ``ggn_vp_parallel``; the reference's running variant mixed flat
-    and tree conventions and could not actually run).
-    """
-
-    def gvp(v_vec, params_vec, x_batch, y_batch):
-        params = param_unflatten(params_vec)
-        v_like_params = param_unflatten(v_vec)
-
-        def scan_fun(carry, batch):
-            x, y = batch
-            x, y = x[None, ...], y[None, ...]
-
-            def model_pred(p):
-                return model_fun(p, x)
-
-            preds, Jv = jax.jvp(model_pred, (params,), (v_like_params,))
-            _, vjp_fn = jax.vjp(model_pred, params)
-            H = jax.vmap(jax.hessian(loss_single, argnums=0))(preds, y)
-            HJv = jnp.einsum("boi,bi->bo", H, Jv)
-            JtHJv = vjp_fn(HJv)[0]
-            return jax.tree_util.tree_map(jnp.add, carry, JtHJv), None
-
-        init = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return jax.lax.scan(scan_fun, init, (x_batch, y_batch))[0]
-
-    return gvp
-
-
-def ggn_vp_parallel(*, loss_single, model_fun, param_unflatten):
-    """GGN-vector product vmapped over per-sample linearisations."""
-
-    def gvp(v_vec, params_vec, x_batch, y_batch):
-        v_like_params = param_unflatten(v_vec)
-        params = param_unflatten(params_vec)
-
-        def body(x_single, y_single):
-            x, y = x_single[None, ...], y_single[None, ...]
-
-            def model_pred(p):
-                return model_fun(p, x)
-
-            preds, jvp_fn = jax.linearize(model_pred, params)
-            vjp_fn = jax.linear_transpose(jvp_fn, params)
-
-            Jv = jvp_fn(v_like_params)
-            H = jax.vmap(jax.hessian(loss_single, argnums=0))(preds, y)
-            HJv = jnp.einsum("boi,bi->bo", H, Jv)
-            return vjp_fn(HJv)[0]
-
-        return jax.tree_util.tree_map(
-            lambda s: s.sum(axis=0), jax.vmap(body)(x_batch, y_batch)
-        )
-
-    return gvp
-
-
-def kernel_vp_parallel(*, loss_single, model_fun, param_unflatten):
-    """NTK-form (kernel) vector product H^(1/2)-weighted."""
-
-    def gvp(v_like_outs, params_vec, x_batch, y_batch):
-        v_like_outs = v_like_outs[None, ...]
-        params = param_unflatten(params_vec)
-
-        def body(x_single, y_single):
-            x, y = x_single[None, ...], y_single[None, ...]
-
-            def model_pred(p):
-                return model_fun(p, x)
-
-            preds, vjp_fn = jax.vjp(model_pred, params)
-            H = jax.vmap(jax.hessian(loss_single, argnums=0))(preds, y)
-            H_sqrt = jnp.linalg.cholesky(H)
-            Hv = jnp.einsum("boi,bi->bo", H_sqrt, v_like_outs)
-            JtHv = vjp_fn(Hv)[0]
-            _, JJtHv = jax.jvp(model_pred, (params,), (JtHv,))
-            return jnp.einsum("boi,bi->bo", H, JJtHv)
-
-        return jax.tree_util.tree_map(
-            lambda s: s.sum(axis=0), jax.vmap(body)(x_batch, y_batch)
-        )
-
-    return gvp
-
-
 def ggn_vp_dataloader(
-    param_vec, loss_single, model_fun, param_unflatten, data_loader, sum_type="parallel"
+    param_vec,
+    loss_single,
+    model_fun,
+    param_unflatten,
+    data_loader,
+    sum_type="parallel",
+    batch_fields=("image", "label"),
 ):
-    """GGN matvec streamed over a host-side dataloader (batch Python loop)."""
+    """GGN matvec accumulated over a host-side dataloader.
+
+    ``batch_fields`` names the input/target entries of each batch dict
+    (the reference hardcodes ``image``/``label``, bnn_util.py:325-346).
+    """
+    make = {"parallel": ggn_vp, "running": ggn_vp_running}[sum_type]
+    gvp_batch = jax.jit(
+        make(
+            loss_single=loss_single,
+            model_fun=model_fun,
+            param_unflatten=param_unflatten,
+        )
+    )
+    x_field, y_field = batch_fields
 
     def ggn_vec_prod(v_vec):
-        ggn_vp = {"parallel": ggn_vp_parallel, "running": ggn_vp_running}[sum_type]
-        ggn_vp_fn = jax.jit(
-            ggn_vp(
-                model_fun=model_fun,
-                loss_single=loss_single,
-                param_unflatten=param_unflatten,
-            )
-        )
-        gvp = jnp.zeros_like(param_vec)
+        total = jnp.zeros_like(param_vec)
         for batch in data_loader:
-            x_batch, y_batch = batch["image"], batch["label"]
-            gvp_tree = ggn_vp_fn(v_vec, param_vec, x_batch, y_batch)
-            gvp = gvp + jax.flatten_util.ravel_pytree(gvp_tree)[0]
-        return gvp
+            total = total + gvp_batch(v_vec, param_vec, batch[x_field], batch[y_field])
+        return total
 
     return ggn_vec_prod
 
@@ -429,40 +494,48 @@ def vectorize_nn(model_fn, params):
     return params_vec, unflatten_fn, model_apply_vec
 
 
-def get_model_apply_fn(model_name, model_apply, batch_stats=None, rng=None):
-    if model_name in ("ResNet_small", "ResNet18", "DenseNet", "GoogleNet"):
-        assert batch_stats is not None, "Batch statistics required for this model."
+def bind_model_state(model_apply, *, batch_stats=None, dropout_rng=None):
+    """Wrap a flax apply into the ``(params, x) -> logits`` convention.
 
-        def model_fn(params, imgs):
-            return model_apply(
-                {"params": params, "batch_stats": batch_stats},
-                imgs,
-                train=False,
-                mutable=False,
-            )
-    elif model_name in ("LeNet", "MLP"):
-        model_fn = model_apply
-    elif model_name == "VisionTransformer":
-        assert rng is not None, "RNG key required for ViT."
+    Non-parameter state is bound by *what it is*, not by a model-name
+    lookup table (the reference keys behaviour off hardcoded class
+    names, bnn_util.py:521-546): pass ``batch_stats`` for BatchNorm
+    models, ``dropout_rng`` for dropout-at-eval models, neither for
+    plain ones.
+    """
+    if batch_stats is not None:
 
-        def model_fn(params, imgs):
+        def model_fn(params, x):
+            variables = {"params": params, "batch_stats": batch_stats}
+            return model_apply(variables, x, train=False, mutable=False)
+
+    elif dropout_rng is not None:
+
+        def model_fn(params, x):
             return model_apply(
-                {"params": params}, imgs, train=False, rngs={"dropout": rng}
+                {"params": params}, x, train=False, rngs={"dropout": dropout_rng}
             )
+
     else:
-        raise ValueError(model_name)
+        model_fn = model_apply
     return model_fn
 
 
+def get_model_apply_fn(model_name, model_apply, batch_stats=None, rng=None):
+    """Reference-parity alias for `bind_model_state` (name unused)."""
+    del model_name
+    return bind_model_state(model_apply, batch_stats=batch_stats, dropout_rng=rng)
+
+
 def img_to_patch(x, patch_size, flatten_channels=True):
-    """[B, H, W, C] image batch into flattened patches."""
-    B, H, W, C = x.shape
-    x = x.reshape(B, H // patch_size, patch_size, W // patch_size, patch_size, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    x = x.reshape(B, -1, *x.shape[3:])
+    """[B, H, W, C] image batch into a ViT patch sequence."""
+    import einops
+
     if flatten_channels:
-        x = x.reshape(B, x.shape[1], -1)
-    return x
+        pattern = "b (h p1) (w p2) c -> b (h w) (p1 p2 c)"
+    else:
+        pattern = "b (h p1) (w p2) c -> b (h w) p1 p2 c"
+    return einops.rearrange(x, pattern, p1=patch_size, p2=patch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -529,93 +602,126 @@ def logpdf_eigh() -> Callable:
 
 # ---------------------------------------------------------------------------
 # Linearised-Laplace predictives
+#
+# Both predictives need the same object: the linearised test-time
+# covariance  C = J_test G^{-1} J_test^T  exposed as a flat matvec.
+# `_laplace_predictive` builds it once (the reference duplicates the
+# linearise/transpose/CG plumbing in both consumers,
+# bnn_util.py:630-683).
 # ---------------------------------------------------------------------------
 
 
-def predictive_posterior_loglikelihood(*, model_apply, unflatten, logpdf, ggn_fun):
-    """p(y|x) = N(y | f(x), J H^{-1} J^T) with CG for the inner solve."""
+def _laplace_predictive(model_apply, unflatten, ggn_fun, params_vec, x_test, *, solve):
+    """Linearised predictive: flat mean, flat covariance matvec, unflattener."""
+    mean_pred, jvp_fn = jax.linearize(
+        lambda p: model_apply(unflatten(p), x_test), params_vec
+    )
+    vjp_fn = jax.linear_transpose(jvp_fn, params_vec)
+    mean_flat, unflat_out = jax.flatten_util.ravel_pytree(mean_pred)
+
+    def cov_matvec(v_flat):
+        (Jtv,) = vjp_fn(unflat_out(v_flat))
+        ginv_Jtv, _info = solve(ggn_fun, Jtv)
+        return jax.flatten_util.ravel_pytree(jvp_fn(ginv_Jtv))[0]
+
+    return mean_flat, cov_matvec, unflat_out
+
+
+def predictive_posterior_loglikelihood(
+    *, model_apply, unflatten, logpdf, ggn_fun, solve=None
+):
+    """p(y|x) = N(y | f(x), J G^{-1} J^T); inner solve injectable."""
+    solve = solve or _cg.krylov_solve_cg_fixed_step_reortho(20)
 
     def eval_logprob(params_vec, x_test, y_test):
-        mean_pred, jvp_fn = jax.linearize(
-            lambda p: model_apply(unflatten(p), x_test), params_vec
+        mean_flat, cov_matvec, _ = _laplace_predictive(
+            model_apply, unflatten, ggn_fun, params_vec, x_test, solve=solve
         )
-        vjp_fn = jax.linear_transpose(jvp_fn, params_vec)
-        y_flat, unflat = jax.flatten_util.ravel_pytree(y_test)
-        mean_flat, _ = jax.flatten_util.ravel_pytree(mean_pred)
-
-        def cov_vp(v_):
-            v = unflat(v_)
-            (Jtv,) = vjp_fn(v)
-            solve = _cg.krylov_solve_cg_fixed_step_reortho(20)
-            inv_ggn, _info = solve(ggn_fun, Jtv)
-            out = jvp_fn(inv_ggn)
-            return jax.flatten_util.ravel_pytree(out)[0]
-
-        return logpdf(y_flat, mean=mean_flat, cov=cov_vp)
+        y_flat, _ = jax.flatten_util.ravel_pytree(y_test)
+        return logpdf(y_flat, mean=mean_flat, cov=cov_matvec)
 
     return eval_logprob
 
 
-def predictive_logit_sampler(*, model_apply, unflatten, num_samples, ggn_fun):
+def predictive_logit_sampler(*, model_apply, unflatten, num_samples, ggn_fun, solve=None):
     """Sample predictive logits from the linearised-Laplace posterior."""
+    solve = solve or _cg.krylov_solve_cg_fixed_step_reortho(20)
 
     def eval_test_set(params_vec, x_test, y_test, key):
-        mean_pred, jvp_fn = jax.linearize(
-            lambda p: model_apply(unflatten(p), x_test), params_vec
+        del y_test  # kept for signature parity with the loglikelihood
+        mean_flat, cov_matvec, unflat_out = _laplace_predictive(
+            model_apply, unflatten, ggn_fun, params_vec, x_test, solve=solve
         )
-        vjp_fn = jax.linear_transpose(jvp_fn, params_vec)
-        _y_flat, unflat = jax.flatten_util.ravel_pytree(y_test)
-        mean_flat, _ = jax.flatten_util.ravel_pytree(mean_pred)
-
-        def cov_vp(v_):
-            v = unflat(v_)
-            (Jtv,) = vjp_fn(v)
-            solve = _cg.krylov_solve_cg_fixed_step_reortho(20)
-            inv_ggn, _info = solve(ggn_fun, Jtv)
-            out = jvp_fn(inv_ggn)
-            return jax.flatten_util.ravel_pytree(out)[0]
-
-        cov_matrix = jacfwd_map(cov_vp)(mean_flat)
+        cov_matrix = jacfwd_map(cov_matvec)(mean_flat)
         w, V = jnp.linalg.eigh(cov_matrix)
-        inv_eigvals = jnp.where(w < 1e-6, 0.0, 1.0 / w)
-        cov_sqrt = (V * jnp.sqrt(inv_eigvals[..., None, :])) @ V.T
+        # Samples need the *covariance* square root C^{1/2} = V sqrt(w) V^T.
+        # The reference multiplies by sqrt(1/w) instead
+        # (bnn_util.py:676-679) -- i.e. it samples from N(mean, C^{-1});
+        # fixed here, divergence documented in COMPONENTS.md.
+        eigvals = jnp.where(w < 1e-6, 0.0, w)
+        cov_sqrt = (V * jnp.sqrt(eigvals[..., None, :])) @ V.T
         eps = jax.random.normal(key, (num_samples, *mean_flat.shape))
-        samples = jax.vmap(lambda e: mean_flat + cov_sqrt @ e)(eps)
-        return jax.vmap(unflat)(samples)
+        samples = mean_flat[None, :] + eps @ cov_sqrt.T
+        return jax.vmap(unflat_out)(samples)
 
     return eval_test_set
 
 
 # ---------------------------------------------------------------------------
 # Calibration losses
+#
+# Both losses maximise the Laplace evidence over the prior precision
+# alpha: log p(D | alpha) ~ log-prior(alpha) - 1/2 logdet(G + alpha I),
+# differing only in the logdet estimator (SLQ vs diagonal).
 # ---------------------------------------------------------------------------
 
 
-def callibration_loss(model_apply, unflatten, hyperparam_unconstrain, n_params):
-    """Prior-precision calibration via SLQ logdet of the implicit GGN."""
-    ggn_fun = ggn_vp_parallel(
+def _damped_ggn_matvec(model_apply, unflatten):
+    """Flat matvec of G + alpha I, the calibration losses' operator."""
+    gvp = ggn_vp(
         loss_single=loss_training_cross_entropy_single,
         model_fun=model_apply,
         param_unflatten=unflatten,
     )
 
-    def ggn_mat(v_vec, alpha, *params):
-        Gv_tree = ggn_fun(v_vec, *params)
-        return jax.flatten_util.ravel_pytree(Gv_tree)[0] + alpha * v_vec
+    def matvec(v_vec, alpha, params_vec, x, y):
+        return gvp(v_vec, params_vec, x, y) + alpha * v_vec
+
+    return matvec
+
+
+def _log_prior(alpha, params_vec, n_params):
+    return jnp.log(alpha) * n_params - alpha * jnp.dot(params_vec, params_vec)
+
+
+def calibration_loss(
+    model_apply,
+    unflatten,
+    hyperparam_unconstrain,
+    n_params,
+    *,
+    lanczos_rank=10,
+    slq_num_samples=10,
+    slq_num_batches=1,
+):
+    """Prior-precision calibration via SLQ logdet of the implicit GGN."""
+    ggn_mat = _damped_ggn_matvec(model_apply, unflatten)
+    logdet_fun = solver_logdet_slq_implicit(
+        lanczos_rank=lanczos_rank,
+        slq_num_samples=slq_num_samples,
+        slq_num_batches=slq_num_batches,
+        N=n_params,
+    )
 
     def loss(log_alpha, params_vec, img, label, key):
         alpha = hyperparam_unconstrain(log_alpha)
-        logdet_fun = solver_logdet_slq_implicit(
-            lanczos_rank=10, slq_num_samples=10, slq_num_batches=1, N=n_params
-        )
         logdet = logdet_fun(ggn_mat, key, alpha, params_vec, img, label)
-        log_prior = jnp.log(alpha) * n_params - alpha * jnp.dot(params_vec, params_vec)
-        return -(log_prior - logdet)
+        return -(_log_prior(alpha, params_vec, n_params) - logdet)
 
     return loss
 
 
-def callibration_loss_diagonal(
+def calibration_loss_diagonal(
     model_apply,
     unflatten,
     hyperparam_unconstrain,
@@ -623,31 +729,32 @@ def callibration_loss_diagonal(
     num_levels,
     n_params,
 ):
-    """Calibration with a multi-level Hutchinson diagonal estimate."""
-    gvp_fn = ggn_vp_parallel(
+    """Calibration with a multi-level Hutchinson diagonal logdet."""
+    gvp = ggn_vp(
         loss_single=loss_training_cross_entropy_single,
         model_fun=model_apply,
         param_unflatten=unflatten,
     )
-    key = jax.random.PRNGKey(0)
-    get_diag_fn = functools.partial(
-        hutchinson_diagonal,
-        n_samples=hutchinson_samples,
-        key=key,
-        computation_type="serial",
-        num_levels=num_levels,
-    )
 
     def loss(log_alpha, params_vec, img, label):
         alpha = hyperparam_unconstrain(log_alpha)
-        gvp_batch = jax.tree_util.Partial(
-            gvp_fn, params_vec=params_vec, x_batch=img, y_batch=label
+        diag_tree = hutchinson_diagonal(
+            gvp_fn=lambda v: gvp(v, params_vec, img, label),
+            params=unflatten(params_vec),
+            n_samples=hutchinson_samples,
+            key=jax.random.PRNGKey(0),
+            computation_type="serial",
+            num_levels=num_levels,
         )
-        diag = get_diag_fn(gvp_fn=gvp_batch, params=unflatten(params_vec))
-        diag_vec = jax.flatten_util.ravel_pytree(diag)[0]
-        diag_vec = jnp.where(diag_vec < 1e-4, 0.0, diag_vec)
-        logdet = jnp.sum(jnp.log(diag_vec + alpha))
-        log_prior = jnp.log(alpha) * n_params - alpha * jnp.dot(params_vec, params_vec)
-        return -(log_prior - logdet)
+        diag = jax.flatten_util.ravel_pytree(diag_tree)[0]
+        diag = jnp.where(diag < 1e-4, 0.0, diag)
+        logdet = jnp.sum(jnp.log(diag + alpha))
+        return -(_log_prior(alpha, params_vec, n_params) - logdet)
 
     return loss
+
+
+# Reference-parity aliases ("callibration" typo preserved from
+# bnn_util.py:433,477 so reference-written driver code keeps running).
+callibration_loss = calibration_loss
+callibration_loss_diagonal = calibration_loss_diagonal

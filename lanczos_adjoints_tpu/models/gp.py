@@ -195,28 +195,61 @@ def kernel_scaled_rbf(*, shape_in, shape_out) -> tuple:
 
 # ---------------------------------------------------------------------------
 # Likelihoods
+#
+# All four factories are thin assemblies over one covariance-operator
+# helper.  (The reference repeats the lazy-kernel / matvec plumbing in
+# each of its four likelihood closures, gp_util.py:216-351; factoring it
+# is a deliberate restructuring, and the single place the index-based
+# lazy kernel is defined.)
 # ---------------------------------------------------------------------------
 
 
-def likelihood_pdf(
-    matvec: Callable, logpdf: Callable, *, constrain: Callable
-) -> tuple:
+class _CovarianceOp:
+    """Lazy N x N kernel covariance: element access plus matvec.
+
+    ``elem(i, j)`` evaluates ``k(x_i, x_j) (+ noise * delta_ij)`` --
+    the access pattern the partial-Cholesky preconditioner needs -- and
+    ``matvec_fn(v)`` applies the full Gram matrix through whichever
+    execution policy (vmapped / partitioned / sequential) was injected.
+    """
+
+    def __init__(self, matvec, kernel, inputs, *, noise=0.0):
+        self._policy = matvec
+        self._kernel = kernel
+        self._inputs = inputs
+        self._noise = noise
+
+    def elem(self, i, j):
+        val = self._kernel(self._inputs[i], self._inputs[j])
+        if isinstance(self._noise, (int, float)) and self._noise == 0.0:
+            return val
+        return val + self._noise * (i == j)
+
+    def matvec(self, v):
+        apply_gram = self._policy(self.elem)
+        idx = jnp.arange(len(self._inputs))
+        return apply_gram(idx, idx, v)
+
+    def cross_matvec(self, xs, v):
+        """K(xs, inputs) @ v -- the posterior-mean cross covariance."""
+        apply_gram = self._policy(self._kernel)
+        return apply_gram(xs, self._inputs, v)
+
+
+def _mean_array(mean, xs):
+    return jax.vmap(mean)(xs)
+
+
+def likelihood_pdf(matvec: Callable, logpdf: Callable, *, constrain: Callable) -> tuple:
     """Gaussian likelihood evaluating the marginal pdf via a lazy matvec."""
 
     def likelihood(inputs, mean: Callable, kernel: Callable, params: dict):
         noise = constrain(params["raw_noise"])
-
-        def lazy_kernel(i, j):
-            return kernel(inputs[i], inputs[j]) + noise * (i == j)
-
-        def cov_matvec(v):
-            cov = matvec(lazy_kernel)
-            idx = jnp.arange(len(inputs))
-            return cov(idx, idx, v)
+        cov = _CovarianceOp(matvec, kernel, inputs, noise=noise)
 
         def logpdf_partial(targets, *p_logpdf):
-            mean_array = jax.vmap(mean)(inputs)
-            return logpdf(targets, *p_logpdf, mean=mean_array, cov_matvec=cov_matvec)
+            mu = _mean_array(mean, inputs)
+            return logpdf(targets, *p_logpdf, mean=mu, cov_matvec=cov.matvec)
 
         return logpdf_partial
 
@@ -226,28 +259,25 @@ def likelihood_pdf(
 def likelihood_pdf_p(
     matvec: Callable, logpdf_p: Callable, precondition: Callable, *, constrain: Callable
 ) -> tuple:
-    """Gaussian likelihood with a preconditioned logpdf backend."""
+    """Gaussian likelihood with a preconditioned logpdf backend.
+
+    The preconditioner sees the *noiseless* lazy kernel (it adds the
+    noise itself through the Woodbury identity), while the logpdf's
+    matvec carries ``+ noise * v``.
+    """
 
     def likelihood(inputs, mean: Callable, kernel: Callable, params: dict):
         noise = constrain(params["raw_noise"])
-
-        def lazy_kernel(i, j):
-            return kernel(inputs[i], inputs[j])
-
-        def cov_matvec(v):
-            cov = matvec(lazy_kernel)
-            idx = jnp.arange(len(inputs))
-            return cov(idx, idx, v)
-
-        pre, info_pre = precondition(lazy_kernel, len(inputs))
+        cov = _CovarianceOp(matvec, kernel, inputs)
+        pre, info_pre = precondition(cov.elem, len(inputs))
 
         def logpdf_partial(targets, *p_logpdf):
-            mean_array = jax.vmap(mean)(inputs)
+            mu = _mean_array(mean, inputs)
             value, info = logpdf_p(
                 targets,
                 *p_logpdf,
-                mean=mean_array,
-                cov_matvec=lambda v: cov_matvec(v) + noise * v,
+                mean=mu,
+                cov_matvec=lambda v: cov.matvec(v) + noise * v,
                 P=lambda v: pre(v, noise),
             )
             return value, {"precondition": info_pre, "logpdf": info}
@@ -264,25 +294,12 @@ def likelihood_condition(
 
     def likelihood(inputs, mean: Callable, kernel: Callable, params: dict):
         noise = constrain(params["raw_noise"])
-
-        def lazy_kernel(i, j):
-            return kernel(inputs[i], inputs[j]) + noise * (i == j)
-
-        def cov_matvec(v):
-            cov = matvec(lazy_kernel)
-            idx = jnp.arange(len(inputs))
-            return cov(idx, idx, v)
+        cov = _CovarianceOp(matvec, kernel, inputs, noise=noise)
 
         def condition_partial(xs, targets):
-            mean_array = jax.vmap(mean)(inputs)
-            weights, info = solve(cov_matvec, targets - mean_array)
-
-            def cov_matvec_prior(v):
-                cov = matvec(kernel)
-                return cov(xs, inputs, v)
-
-            mean_eval = jax.vmap(mean)(xs)
-            return mean_eval + cov_matvec_prior(weights), {"solve": info}
+            weights, info = solve(cov.matvec, targets - _mean_array(mean, inputs))
+            posterior_mean = _mean_array(mean, xs) + cov.cross_matvec(xs, weights)
+            return posterior_mean, {"solve": info}
 
         return condition_partial
 
@@ -296,31 +313,17 @@ def likelihood_condition_p(
 
     def likelihood(inputs, mean: Callable, kernel: Callable, params: dict):
         noise = constrain(params["raw_noise"])
-
-        def lazy_kernel(i, j):
-            return kernel(inputs[i], inputs[j])
-
-        def cov_matvec(v):
-            cov = matvec(lazy_kernel)
-            idx = jnp.arange(len(inputs))
-            return cov(idx, idx, v)
-
-        pre, _info_pre = precondition(lazy_kernel, len(inputs))
+        cov = _CovarianceOp(matvec, kernel, inputs)
+        pre, _info_pre = precondition(cov.elem, len(inputs))
 
         def condition_partial(xs, targets):
-            mean_array = jax.vmap(mean)(inputs)
             weights, info = solve_p(
-                lambda v: cov_matvec(v) + noise * v,
-                targets - mean_array,
+                lambda v: cov.matvec(v) + noise * v,
+                targets - _mean_array(mean, inputs),
                 P=lambda v: pre(v, noise),
             )
-
-            def cov_matvec_prior(v):
-                cov = matvec(kernel)
-                return cov(xs, inputs, v)
-
-            mean_eval = jax.vmap(mean)(xs)
-            return mean_eval + cov_matvec_prior(weights), {"solve": info}
+            posterior_mean = _mean_array(mean, xs) + cov.cross_matvec(xs, weights)
+            return posterior_mean, {"solve": info}
 
         return condition_partial
 
@@ -329,17 +332,30 @@ def likelihood_condition_p(
 
 # ---------------------------------------------------------------------------
 # Logpdf backends
+#
+# Every backend reduces to the same Gaussian identity
+#   log N(y | mu, K) = -1/2 logdet(K) - 1/2 (y-mu)^T K^{-1} (y-mu) - n/2 log 2pi
+# differing only in how (logdet, solve) are produced; `_gaussian_logpdf`
+# is that shared assembly.
 # ---------------------------------------------------------------------------
+
+
+def _gaussian_logpdf(residual, half_logdet, mahalanobis):
+    (n,) = jnp.shape(residual)
+    return -half_logdet - 0.5 * mahalanobis - n / 2 * jnp.log(2 * jnp.pi)
+
+
+def _materialize(cov_matvec, like):
+    """Dense covariance from a matvec (small-n debug backends only)."""
+    return jax.jacfwd(cov_matvec)(like)
 
 
 def logpdf_scipy_stats() -> Callable:
     """Materialise the covariance and call jax.scipy multivariate normal."""
 
     def logpdf(y, /, *, mean, cov_matvec: Callable):
-        cov_matrix = jax.jacfwd(cov_matvec)(mean)
-        value = jax.scipy.stats.multivariate_normal.logpdf(
-            y, mean=mean, cov=cov_matrix
-        )
+        cov_matrix = _materialize(cov_matvec, mean)
+        value = jax.scipy.stats.multivariate_normal.logpdf(y, mean=mean, cov=cov_matrix)
         return value, {}
 
     return logpdf
@@ -349,49 +365,43 @@ def logpdf_cholesky() -> Callable:
     """Materialise the covariance and use a Cholesky factorisation."""
 
     def logpdf(y, /, *, mean, cov_matvec: Callable):
-        cov_matrix = jax.jacfwd(cov_matvec)(mean)
-        cholesky = jnp.linalg.cholesky(cov_matrix)
-
-        logdet = jnp.sum(jnp.log(jnp.diag(cholesky)))
-        tmp = jax.scipy.linalg.solve_triangular(
-            cholesky, y - mean, lower=True, trans=False
+        chol = jnp.linalg.cholesky(_materialize(cov_matvec, mean))
+        white = jax.scipy.linalg.solve_triangular(chol, y - mean, lower=True)
+        value = _gaussian_logpdf(
+            y - mean,
+            half_logdet=jnp.sum(jnp.log(jnp.diag(chol))),
+            mahalanobis=jnp.dot(white, white),
         )
-        mahalanobis = jnp.dot(tmp, tmp)
-        (n,) = jnp.shape(mean)
-        return -logdet - 0.5 * mahalanobis - n / 2 * jnp.log(2 * jnp.pi), {}
+        return value, {}
+
+    return logpdf
+
+
+def _logpdf_matrix_free(logdet: Callable, run_solve: Callable) -> Callable:
+    """SLQ logdet + CG Mahalanobis; ``run_solve(cov_matvec, rhs, **kw)``."""
+
+    def logpdf(y, *params_logdet, mean, cov_matvec: Callable, **solve_kwargs):
+        logdet_, info_logdet = logdet(cov_matvec, *params_logdet)
+        residual = y - mean
+        solution, info_solve = run_solve(cov_matvec, residual, **solve_kwargs)
+        value = _gaussian_logpdf(
+            residual,
+            half_logdet=logdet_ / 2,
+            mahalanobis=jnp.dot(residual, solution),
+        )
+        return value, {"logdet": info_logdet, "solve": info_solve}
 
     return logpdf
 
 
 def logpdf_krylov(solve: Callable, logdet: Callable) -> Callable:
     """Matrix-free logpdf: SLQ logdet + CG Mahalanobis."""
-
-    def logpdf(y, *params_logdet, mean, cov_matvec: Callable):
-        logdet_, info_logdet = logdet(cov_matvec, *params_logdet)
-        logdet_ = logdet_ / 2
-
-        tmp, info_solve = solve(cov_matvec, y - mean)
-        mahalanobis = jnp.dot(y - mean, tmp)
-
-        (n,) = jnp.shape(mean)
-        value = -logdet_ - 0.5 * mahalanobis - n / 2 * jnp.log(2 * jnp.pi)
-        return value, {"logdet": info_logdet, "solve": info_solve}
-
-    return logpdf
+    return _logpdf_matrix_free(logdet, solve)
 
 
 def logpdf_krylov_p(solve_p: Callable, logdet: Callable) -> Callable:
-    """Matrix-free logpdf with a preconditioned Mahalanobis solve."""
+    """Matrix-free logpdf with a preconditioned Mahalanobis solve.
 
-    def logpdf(y, *params_logdet, mean, cov_matvec: Callable, P: Callable):
-        logdet_, info_logdet = logdet(cov_matvec, *params_logdet)
-        logdet_ = logdet_ / 2
-
-        tmp, info_solve = solve_p(cov_matvec, y - mean, P=P)
-        mahalanobis = jnp.dot(y - mean, tmp)
-
-        (n,) = jnp.shape(mean)
-        value = -logdet_ - 0.5 * mahalanobis - n / 2 * jnp.log(2 * jnp.pi)
-        return value, {"logdet": info_logdet, "solve": info_solve}
-
-    return logpdf
+    The preconditioner arrives per-call as the ``P=...`` keyword.
+    """
+    return _logpdf_matrix_free(logdet, solve_p)

@@ -57,7 +57,7 @@ def pcg_fixed_step(num_matvecs: int, /) -> Callable:
 
         init = (x, z, r, z, r @ z)
         x, _p, r, _z, _rz = jax.lax.fori_loop(0, num_matvecs, body, init)
-        return x, {"residual_abs": r, "residual_rel": r / jnp.abs(x)}
+        return x, {"residual_abs": r, "residual_rel": _safe_divide(r, jnp.abs(x))}
 
     return pcg
 
@@ -107,7 +107,7 @@ def pcg_adaptive(*, atol: float, rtol: float, maxiter: int, miniter: int) -> Cal
         x, _p, r, _z, _rz, num_steps = jax.lax.while_loop(cond, body, init)
         return x, {
             "residual_abs": r,
-            "residual_rel": r / jnp.abs(x),
+            "residual_rel": _safe_divide(r, jnp.abs(x)),
             "num_steps": num_steps,
         }
 
