@@ -140,7 +140,11 @@ def run(args, *, script_file, solver_mode: str):
             jnp.ones((len(Xs),)), num=args.num_samples
         )
         logdet_ = gp.krylov_logdet_slq(
-            args.num_matvecs, sample=sample_, num_batches=1, checkpoint=True
+            args.num_matvecs,
+            sample=sample_,
+            num_batches=1,
+            checkpoint=True,
+            matfun=log_clipped(),
         )
         solve_ = solvers.pcg_adaptive(rtol=0.0, atol=1e-4, maxiter=10_000, miniter=10)
         likelihood_, _ = gp.likelihood_pdf_p(

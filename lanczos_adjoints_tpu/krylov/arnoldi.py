@@ -27,6 +27,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from lanczos_adjoints_tpu.utils.precision import highest_precision
+
 
 def hessenberg(
     matvec,
@@ -98,6 +100,7 @@ def hessenberg(
     return estimate_public
 
 
+@highest_precision
 def _forward(matvec, krylov_depth, v, *params, reortho: str, unroll: int = 4):
     if krylov_depth < 1 or krylov_depth > len(v):
         msg = f"Parameter depth {krylov_depth} is outside the expected range"
@@ -135,6 +138,7 @@ def _forward(matvec, krylov_depth, v, *params, reortho: str, unroll: int = 4):
     return Q, H, w, 1.0 / norm0
 
 
+@highest_precision
 def _adjoint(
     matvec,
     params,

@@ -32,6 +32,8 @@ import jax
 import jax.flatten_util
 import jax.numpy as jnp
 
+from lanczos_adjoints_tpu.utils.precision import highest_precision
+
 from lanczos_adjoints_tpu.krylov import arnoldi
 
 
@@ -151,6 +153,7 @@ def _tridiag_plain(matvec, krylov_depth, /, *, custom_vjp, scan_unroll=8):
     return estimate
 
 
+@highest_precision
 def _forward(matvec, krylov_depth, vec, *params, unroll=8):
     """Three-term recurrence as one scan, one matvec per step."""
     norm = jnp.linalg.norm(vec)
@@ -176,6 +179,7 @@ def _forward(matvec, krylov_depth, vec, *params, unroll=8):
     return decomposition, remainder, 1.0 / norm
 
 
+@highest_precision
 def _adjoint(
     matvec, params, *, vec_norm, xs, alphas, betas, dxs, dalphas, dbetas, unroll=8
 ):
@@ -284,6 +288,7 @@ def integrand_spd_custom_vjp_reuse(
     def quadform_backend(matvec_flat: Callable, v0, *parameters):
         return quadform_fwd(matvec_flat, v0, *parameters)[0]
 
+    @highest_precision
     def quadform_fwd(matvec_flat, v0, *parameters):
         v0_flat, _unflatten = jax.flatten_util.ravel_pytree(v0)
         scale = jnp.linalg.norm(v0_flat)
@@ -310,6 +315,7 @@ def integrand_spd_custom_vjp_reuse(
         }
         return value, cache
 
+    @highest_precision
     def quadform_bwd(matvec_flat: Callable, cache, cotangent):
         w1, w2 = cache["w1"], cache["w2"]
         _fx, vjp = jax.vjp(

@@ -107,10 +107,21 @@ def constraint_greater_than(minval, /) -> Callable:
 
 
 def _scaled_sq_distance(x, y, lengthscale):
-    """|x - y|^2 / lengthscale^2 via the expanded form (MXU-friendly)."""
+    """|x - y|^2 / lengthscale^2 via the expanded form (MXU-friendly).
+
+    Under a double vmap these dots lower to (n, d) x (d, m) MXU matmuls;
+    precision is pinned because the TPU default (bf16, ~3 decimal digits)
+    perturbs the Gram operator by ~1e-2 relative, which stalls
+    tight-tolerance CG and corrupts posterior means.
+    """
     x = x / lengthscale
     y = y / lengthscale
-    sq = jnp.dot(x, x) + jnp.dot(y, y) - 2 * jnp.dot(x, y)
+    highest = jax.lax.Precision.HIGHEST
+    sq = (
+        jnp.dot(x, x, precision=highest)
+        + jnp.dot(y, y, precision=highest)
+        - 2 * jnp.dot(x, y, precision=highest)
+    )
     return jnp.maximum(0.0, sq)
 
 

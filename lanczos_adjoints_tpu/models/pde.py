@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from lanczos_adjoints_tpu.krylov import arnoldi, lanczos
+from lanczos_adjoints_tpu.utils.precision import highest_precision
 
 
 def mesh_tensorproduct(x, y, /):
@@ -294,6 +295,7 @@ def expm_arnoldi(krylov_depth, *, max_squarings=32, reortho="full", custom_vjp=T
     evaluation.
     """
 
+    @highest_precision
     def expm(matvec, dt, y0_flat, *p):
         algorithm = arnoldi.hessenberg(
             matvec, krylov_depth, reortho=reortho, custom_vjp=custom_vjp
@@ -369,6 +371,7 @@ def sampler_lanczos(*, mean, cov_matvec, num, lanczos_rank):
         sample_one = functools.partial(_sample_single, factorise=factorise)
         return jax.vmap(sample_one)(eps) + mean[None, ...]
 
+    @highest_precision
     def _sample_single(eps, *, factorise):
         norm = jnp.linalg.norm(eps)
         eps = eps / norm

@@ -25,11 +25,13 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from lanczos_adjoints_tpu.utils.precision import highest_precision
+
 
 def gram_matrix(fun: Callable, /) -> Callable:
     """Materialise the Gram matrix of a scalar kernel."""
     row = jax.vmap(fun, in_axes=(None, 0), out_axes=-1)
-    return jax.vmap(row, in_axes=(0, None), out_axes=-2)
+    return highest_precision(jax.vmap(row, in_axes=(0, None), out_axes=-2))
 
 
 def gram_matvec():
@@ -40,7 +42,10 @@ def gram_matvec():
             fun_batched = jax.vmap(fun, in_axes=(None, 0), out_axes=-1)
             return fun_batched(i, j) @ v
 
-        return jax.vmap(matvec_y, in_axes=(0, None, None), out_axes=0)
+        # The vmapped row-dot lowers to an MXU matvec and the kernel's
+        # pairwise-distance dots to MXU matmuls; pin f32 (TPU default is
+        # bf16, which makes tight CG tolerances unreachable).
+        return highest_precision(jax.vmap(matvec_y, in_axes=(0, None, None), out_axes=0))
 
     return matvec
 
@@ -91,6 +96,6 @@ def gram_matvec_sequential(*, checkpoint: bool):
             mapped = jax.lax.map(row, i)
             return jnp.reshape(mapped, (-1,))
 
-        return matvec_map
+        return highest_precision(matvec_map)
 
     return matvec

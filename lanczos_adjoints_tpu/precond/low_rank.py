@@ -17,6 +17,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from lanczos_adjoints_tpu.utils.precision import highest_precision
+
 
 def preconditioner(cholesky: Callable, /) -> Callable:
     """Turn a partial Cholesky routine into a Woodbury solver factory.
@@ -33,6 +35,7 @@ def preconditioner(cholesky: Callable, /) -> Callable:
         assert rank <= n_full, (n_full, rank)
 
         @jax.custom_vjp
+        @highest_precision
         def solve(v: jax.Array, s):
             scaled = chol / jnp.sqrt(s)
             v_scaled = v / s
@@ -64,6 +67,7 @@ def cholesky_partial(*, rank: int) -> Callable:
         return _cholesky(element, n, *aux_args)
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=[0, 1])
+    @highest_precision
     def _cholesky(element: Callable, n: int, *params):
         body = _partial_body(element, n, rank, *params)
         L = jnp.zeros((n, rank))
@@ -109,6 +113,7 @@ def cholesky_partial_pivot(*, rank: int) -> Callable:
         return _cholesky(element, n, *aux_args)
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=[0, 1])
+    @highest_precision
     def _cholesky(element: Callable, n: int, *params):
         body, initial_diag = _pivot_body(element, n, rank, *params)
         L = jnp.zeros((n, rank))
