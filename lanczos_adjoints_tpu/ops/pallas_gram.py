@@ -1,37 +1,43 @@
 """Fused streaming Gram matvec: a Pallas TPU kernel (KeOps equivalent).
 
 Computes ``out = K(x, y) @ v`` for distance-based kernels without ever
-materialising the N x N Gram matrix: the kernel streams row blocks of
-``x`` over the grid, holds ``y``/``v`` resident in VMEM, and for each
-(row-block, column-tile) pair evaluates
+materialising the N x N Gram matrix.  This is the role PyKeOps plays
+for the reference's GPU baselines (reference
+``gram_matvec_versus_keops/matvec/benchmark.py:36-42``); here it is a
+first-class TPU kernel with a custom VJP whose backward pass is two
+more streaming passes (no N^2 residuals).
 
-    D   = |x_r|^2 + |y_c|^2 - 2 x_r . y_c      (dot_general)
-    K   = f(D / lengthscale^2)                  (VPU)
-    acc += K . v_c                              (dot_general)
+Design (v2 -- the v1 kernel lost to XLA's fused vmap policy):
 
-This is the role PyKeOps plays for the reference's GPU baselines
-(reference ``gram_matvec_versus_keops/matvec/benchmark.py:36-42``);
-here it is a first-class TPU kernel with a custom VJP whose backward
-pass is two more streaming passes (no N^2 residuals):
+- The *entire* scaled squared distance is produced by one MXU matmul
+  via feature augmentation:
 
-- d/dv     = K^T u                               (same kernel, x/y swapped)
-- d/dtheta = sum_ij u_i (df/dtheta)(D_ij) v_j    (streamed reduction)
+      a_i = [x_i/ell,  |x_i/ell|^2,  1]            (d + 2 features)
+      b_j = alpha * [-2 y_j/ell,  1,  |y_j/ell|^2]
+      a_i . b_j = alpha * |x_i - y_j|^2 / ell^2
 
-Row blocks are laid out as native (8, 128) register tiles (Mosaic
-cannot relayout 1-D <-> 2-D vectors), so every intermediate keeps the
-(sublane, lane) structure and the kernel compiles without reshapes.
+  with ``alpha`` folding the kernel-specific distance scale (-1/2 for
+  RBF, 3 for Matern-3/2), so the VPU's critical path is the
+  transcendental plus the v-contraction.  The v1 kernel assembled
+  ``x_sq + y_sq - 2 cross`` on the VPU, two extra ops per cell.
+- ``outputscale`` multiplies the *output vector* (O(N)), not the N^2
+  kernel values.
+- Column tiles stream through a second grid dimension (the output
+  block revisits across it), so ``y``/``v`` never need to be fully
+  VMEM-resident: any N works.
+- Multi-vector right-hand sides ``v: (N, m)`` contract on the MXU --
+  each pairwise cell then serves ``m`` MACs, so SLQ probe batches ride
+  one kernel-evaluation pass (this framework's GP training batches all
+  SLQ probes through one Gram pass).
+- Lengthscales may be scalar or per-dimension (ARD), matching the
+  ``models.gp`` kernel parametrisation.
+
+Row blocks are laid out as native (sublane, lane) = (128, C) tiles
+(Mosaic cannot relayout 1-D <-> 2-D vectors), so every intermediate
+keeps the register structure and the kernel compiles without reshapes.
 
 Supported kernel families (GPyTorch-parametrised, matching
 ``lanczos_adjoints_tpu.models.gp``): ``rbf``, ``matern12``, ``matern32``.
-
-Performance status (v5e, N=65536, d=1): this kernel sustains ~120
-Gcells/s while XLA's fused vmap policy reaches ~330 (vmapped) to ~540
-(partitioned) Gcells/s -- the transcendental (exp) evaluation is the
-bound and XLA's fusion already saturates the VPU, so the XLA policies
-in ``ops.gram`` remain the default *speed* path.  This kernel's
-advantage is memory: the custom VJP re-streams tiles instead of saving
-f32 N^2 residuals for backward, making gradient evaluation O(N) memory
-at any N.
 """
 
 import functools
@@ -42,7 +48,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW_BLOCK = 1024  # rows per grid step; laid out as (8, 128) tiles
-COL_BLOCK = 256  # resident y/v tile length (VMEM budget for (8,128,C) tiles)
+COL_BLOCK = 512  # y/v tile length streamed per grid step
+
+_EPS = float(jnp.finfo(jnp.float32).eps)
+
+# u = alpha * sq comes straight off the MXU, where sq = |x-y|^2/ell^2.
+_ALPHA = {"rbf": -0.5, "matern12": 1.0, "matern32": 3.0}
+
+
+def _kernel_value(kind, u):
+    """g(u) with k = outputscale * g; u = alpha * sq from the MXU."""
+    if kind == "rbf":
+        return jnp.exp(jnp.minimum(u, 0.0))
+    dist = jnp.sqrt(jnp.maximum(u, 0.0) + _EPS)
+    e = jnp.exp(-dist)
+    if kind == "matern12":
+        return e
+    return (1.0 + dist) * e  # matern32
+
+
+def _kernel_value_dsq(kind, u):
+    """(g, dg/d sq) -- derivative w.r.t. the *unscaled* sq."""
+    if kind == "rbf":
+        g = jnp.exp(jnp.minimum(u, 0.0))
+        return g, -0.5 * g
+    dist = jnp.sqrt(jnp.maximum(u, 0.0) + _EPS)
+    e = jnp.exp(-dist)
+    if kind == "matern12":
+        # d/dsq exp(-sqrt(sq + eps)) = -e / (2 dist)
+        return e, -0.5 * e / dist
+    # matern32: dist = sqrt(3 sq + eps); d/dsq (1 + dist) e^-dist = -1.5 e
+    return (1.0 + dist) * e, -1.5 * e
 
 
 def _pad_to(x, size, axis=0):
@@ -54,197 +90,268 @@ def _pad_to(x, size, axis=0):
     return jnp.pad(x, widths)
 
 
-def _kernel_and_grads(kind: str, sq, ell, outputscale, *, want_grads: bool):
-    """k(sq) and optionally (dk/d ell, dk/d outputscale); sq pre-scaled."""
-    sq = jnp.maximum(sq, 0.0)
-    eps = jnp.finfo(jnp.float32).eps
-    if kind == "rbf":
-        k = outputscale * jnp.exp(-sq / 2)
-        if not want_grads:
-            return k, None, None
-        return k, k * sq / ell, k / outputscale
-    if kind == "matern12":
-        dist = jnp.sqrt(sq + eps)
-        e = jnp.exp(-dist)
-        k = outputscale * e
-        if not want_grads:
-            return k, None, None
-        return k, k * dist / ell, e
-    if kind == "matern32":
-        dist = jnp.sqrt(3.0 * sq + eps)
-        e = jnp.exp(-dist)
-        k = outputscale * (1.0 + dist) * e
-        if not want_grads:
-            return k, None, None
-        return k, outputscale * dist * dist * e / ell, (1.0 + dist) * e
-    msg = f"kind={kind!r} not supported"
-    raise ValueError(msg)
+def _augment_rows(x_scaled):
+    """[x/ell, |x/ell|^2, 1] of shape (n, d + 2)."""
+    sq = jnp.sum(x_scaled * x_scaled, axis=-1, keepdims=True)
+    ones = jnp.ones_like(sq)
+    return jnp.concatenate([x_scaled, sq, ones], axis=-1)
 
 
-def _tile_sq(x_scaled, x_sq, y, inv_ell):
-    """Scaled squared distances of an (8, 128, d) row tile vs (C, d) tile."""
-    y_scaled = y * inv_ell
-    y_sq = jnp.sum(y_scaled * y_scaled, axis=1)  # (C,)
-    cross = jax.lax.dot_general(
-        x_scaled,
-        y_scaled,
+def _augment_cols(y_scaled, alpha):
+    """alpha * [-2 y/ell, 1, |y/ell|^2] of shape (n, d + 2)."""
+    sq = jnp.sum(y_scaled * y_scaled, axis=-1, keepdims=True)
+    ones = jnp.ones_like(sq)
+    return alpha * jnp.concatenate([-2.0 * y_scaled, ones, sq], axis=-1)
+
+
+def _dot_sq(x_aug_tile, y_aug_tile):
+    """(8, 128, daug) . (C, daug) -> (8, 128, C) = alpha * sq."""
+    return jax.lax.dot_general(
+        x_aug_tile,
+        y_aug_tile,
         dimension_numbers=(((2,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )  # (8, 128, C)
-    return x_sq[:, :, None] + y_sq[None, None, :] - 2.0 * cross
-
-
-def _gram_matvec_kernel(kind, x_ref, y_ref, v_ref, par_ref, out_ref):
-    inv_ell = 1.0 / par_ref[0]
-    outputscale = par_ref[1]
-    x = x_ref[0] * inv_ell  # (8, 128, d), pre-scaled
-    x_sq = jnp.sum(x * x, axis=2)  # (8, 128)
-
-    def tile_step(c, acc):
-        sq = _tile_sq(x, x_sq, y_ref[c], inv_ell)
-        k, _, _ = _kernel_and_grads(
-            kind, sq, par_ref[0], outputscale, want_grads=False
-        )
-        contribution = jax.lax.dot_general(
-            k,
-            v_ref[c],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (8, 128)
-        return acc + contribution
-
-    acc = jax.lax.fori_loop(
-        0, y_ref.shape[0], tile_step, jnp.zeros((8, ROW_BLOCK // 8), jnp.float32)
     )
-    out_ref[0] = acc
 
 
-def _gram_reduce_kernel(kind, x_ref, y_ref, v_ref, u_ref, par_ref, out_ref):
-    inv_ell = 1.0 / par_ref[0]
-    outputscale = par_ref[1]
-    x = x_ref[0] * inv_ell
-    u = u_ref[0]  # (8, 128)
-    x_sq = jnp.sum(x * x, axis=2)
+def _gram_matvec_kernel_single(kind, x_ref, y_ref, v_ref, out_ref):
+    """Single right-hand side: v tile is laid out (1, C)."""
+    j = pl.program_id(1)
 
-    def tile_step(c, carry):
-        d_ell, d_out = carry
-        sq = _tile_sq(x, x_sq, y_ref[c], inv_ell)
-        _, dk_dell, dk_dout = _kernel_and_grads(
-            kind, sq, par_ref[0], outputscale, want_grads=True
-        )
-        v = v_ref[c]
-        w_ell = jax.lax.dot_general(
-            dk_dell,
-            v,
-            dimension_numbers=(((2,), (0,)), ((), ())),
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    u = _dot_sq(x_ref[0], y_ref[0])  # (8, 128, C)
+    k = _kernel_value(kind, u)
+    # VPU multiply + lane reduction; an MXU matvec starves the systolic
+    # array at one output column.
+    out_ref[0] += jnp.sum(k * v_ref[0], axis=-1)
+
+
+def _gram_matvec_kernel_multi(kind, x_ref, y_ref, v_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    u = _dot_sq(x_ref[0], y_ref[0])  # (8, 128, C)
+    k = _kernel_value(kind, u)
+    out_ref[0] += jax.lax.dot_general(
+        k,
+        v_ref[0],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGH,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _gram_grads_kernel(kind, m_is_one, x_ref, xs_ref, y_ref, ys_ref, v_ref,
+                       u_ref, out_ref):
+    """Parameter-gradient streaming pass.
+
+    Accumulates, per row block, the sufficient statistics of
+    d(sum_k u_k^T K v_k) / d(lengthscale_d, outputscale):
+
+      w_ij    = (sum_k u_ik v_jk) * dg/dsq_ij
+      stats   = w . [1, y_s, y_s^2]   (MXU, 1 + 2d columns)
+      per_dim = x_s^2 stats_0 + stats_(1+d..) - 2 x_s stats_(1..)
+      d_out   = sum_ij (sum_k u_ik v_jk) g_ij
+
+    Output block layout: (8, 1 + d) -- column 0 carries d_out / 8 per
+    sublane, columns 1..d the per-dimension sums of w_ij * sq_d,ij
+    reduced over the 128-lane row axis.  The caller finishes the
+    reduction over blocks and sublanes.
+    """
+    j = pl.program_id(1)
+    d = xs_ref.shape[-1]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    uarg = _dot_sq(x_ref[0], y_ref[0])  # (8, 128, C)
+    g, dg = _kernel_value_dsq(kind, uarg)
+    if m_is_one:
+        # u tile (8, 128, 1) x v tile (1, C) -> broadcast outer product.
+        uv = u_ref[0] * v_ref[0]
+    else:
+        uv = jax.lax.dot_general(
+            u_ref[0],
+            v_ref[0],
+            dimension_numbers=(((2,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )
-        w_out = jax.lax.dot_general(
-            dk_dout,
-            v,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        return d_ell + jnp.sum(u * w_ell), d_out + jnp.sum(u * w_out)
+        )  # (8, 128, C)
+    d_out = jnp.sum(uv * g)
+    w = uv * dg
+    stats = jax.lax.dot_general(
+        w,
+        ys_ref[0],  # (C, 1 + 2d): [1, y_s, y_s^2]
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (8, 128, 1 + 2d)
+    xs = xs_ref[0]  # (8, 128, d)
+    # sum_j w_ij * (x_s - y_s)_d^2 for each row i, dimension d.
+    per_dim = (
+        xs * xs * stats[..., :1]
+        + stats[..., 1 + d :]
+        - 2.0 * xs * stats[..., 1 : 1 + d]
+    )  # (8, 128, d)
+    red = jnp.sum(per_dim, axis=1)  # (8, d), reduce the 128-row axis
+    dout_col = jnp.full((8, 1), d_out / 8.0, jnp.float32)
+    out_ref[0] += jnp.concatenate([dout_col, red], axis=1)
 
-    d_ell, d_out = jax.lax.fori_loop(0, y_ref.shape[0], tile_step, (0.0, 0.0))
-    rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    first = rows == 0
-    block = jnp.where(first & (cols == 0), d_ell, 0.0)
-    block = block + jnp.where(first & (cols == 1), d_out, 0.0)
-    out_ref[0] = block
 
-
-def _prep(x, y, v):
-    n_rows, d = x.shape
-    n_cols = y.shape[0]
+def _prep_rows(x_aug):
+    n_rows = x_aug.shape[0]
     n_rows_pad = -(-n_rows // ROW_BLOCK) * ROW_BLOCK
-    n_cols_pad = -(-n_cols // COL_BLOCK) * COL_BLOCK
-    x_p = _pad_to(x, n_rows_pad).reshape(
-        n_rows_pad // ROW_BLOCK, 8, ROW_BLOCK // 8, d
+    x_p = _pad_to(x_aug, n_rows_pad).reshape(
+        n_rows_pad // ROW_BLOCK, 8, ROW_BLOCK // 8, x_aug.shape[-1]
     )
-    y_p = _pad_to(y, n_cols_pad).reshape(n_cols_pad // COL_BLOCK, COL_BLOCK, d)
-    v_p = _pad_to(v, n_cols_pad).reshape(n_cols_pad // COL_BLOCK, COL_BLOCK)
-    return x_p, y_p, v_p, n_rows, n_rows_pad, d
+    return x_p, n_rows_pad
+
+
+def _row_spec(trailing, n=1):
+    return pl.BlockSpec(
+        (n, 8, ROW_BLOCK // 8, trailing),
+        lambda i, j: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _col_spec(trailing):
+    return pl.BlockSpec(
+        (1, COL_BLOCK, trailing), lambda i, j: (j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=64 * 1024 * 1024,
+    dimension_semantics=("parallel", "arbitrary"),
+)
 
 
 def _matvec_impl(kind, x, y, v, ell, outputscale):
-    x_p, y_p, v_p, n_rows, n_rows_pad, d = _prep(x, y, v)
-    params = jnp.stack([ell, outputscale])
-    nb = n_rows_pad // ROW_BLOCK
+    squeeze = v.ndim == 1
+    v2 = v[:, None] if squeeze else v
+    m = v2.shape[-1]
+    x_aug = _augment_rows(x / ell)
+    y_aug = _augment_cols(y / ell, _ALPHA[kind])
+    x_p, n_rows_pad = _prep_rows(x_aug)
+    n_cols_pad = -(-y.shape[0] // COL_BLOCK) * COL_BLOCK
+    y_p = _pad_to(y_aug, n_cols_pad).reshape(-1, COL_BLOCK, y_aug.shape[-1])
+    nb, ncb = x_p.shape[0], y_p.shape[0]
+    daug = x_aug.shape[-1]
+
+    if m == 1:
+        v_p = _pad_to(v2[:, 0], n_cols_pad).reshape(-1, 1, COL_BLOCK)
+        kernel = functools.partial(_gram_matvec_kernel_single, kind)
+        v_spec = pl.BlockSpec(
+            (1, 1, COL_BLOCK), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (1, 8, ROW_BLOCK // 8), lambda i, j: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((nb, 8, ROW_BLOCK // 8), jnp.float32)
+    else:
+        v_p = _pad_to(v2, n_cols_pad).reshape(-1, COL_BLOCK, m)
+        kernel = functools.partial(_gram_matvec_kernel_multi, kind)
+        v_spec = _col_spec(m)
+        out_spec = pl.BlockSpec(
+            (1, 8, ROW_BLOCK // 8, m), lambda i, j: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (nb, 8, ROW_BLOCK // 8, m), jnp.float32
+        )
 
     out = pl.pallas_call(
-        functools.partial(_gram_matvec_kernel, kind),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 8, ROW_BLOCK // 8, d),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 8, ROW_BLOCK // 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((nb, 8, ROW_BLOCK // 8), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-    )(x_p, y_p, v_p, params)
-    return out.reshape(-1)[:n_rows]
+        kernel,
+        grid=(nb, ncb),
+        in_specs=[_row_spec(daug), _col_spec(daug), v_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
+    )(x_p, y_p, v_p)
+    out = outputscale * out.reshape(n_rows_pad, m)[: x.shape[0]]
+    return out[:, 0] if squeeze else out
 
 
 def _param_grads(kind, x, y, v, u, ell, outputscale):
-    x_p, y_p, v_p, _n_rows, n_rows_pad, d = _prep(x, y, v)
-    u_p = _pad_to(u, n_rows_pad).reshape(n_rows_pad // ROW_BLOCK, 8, ROW_BLOCK // 8)
-    params = jnp.stack([ell, outputscale])
-    nb = n_rows_pad // ROW_BLOCK
+    """(d_ell, d_outputscale) of sum_k u_k^T K v_k."""
+    v2 = v[:, None] if v.ndim == 1 else v
+    u2 = u[:, None] if u.ndim == 1 else u
+    m = v2.shape[-1]
+    d = x.shape[-1]
+    xs = x / ell
+    ys = y / ell
+    x_aug = _augment_rows(xs)
+    y_aug = _augment_cols(ys, _ALPHA[kind])
+    ys_aug = jnp.concatenate([jnp.ones_like(ys[:, :1]), ys, ys * ys], axis=-1)
+
+    x_p, n_rows_pad = _prep_rows(x_aug)
+    xs_p = _pad_to(xs, n_rows_pad).reshape(-1, 8, ROW_BLOCK // 8, d)
+    u_p = _pad_to(u2, n_rows_pad).reshape(-1, 8, ROW_BLOCK // 8, m)
+    n_cols_pad = -(-y.shape[0] // COL_BLOCK) * COL_BLOCK
+    y_p = _pad_to(y_aug, n_cols_pad).reshape(-1, COL_BLOCK, y_aug.shape[-1])
+    ys_p = _pad_to(ys_aug, n_cols_pad).reshape(-1, COL_BLOCK, 1 + 2 * d)
+    if m == 1:
+        v_p = _pad_to(v2[:, 0], n_cols_pad).reshape(-1, 1, COL_BLOCK)
+        v_spec = pl.BlockSpec(
+            (1, 1, COL_BLOCK), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        v_p = _pad_to(v2, n_cols_pad).reshape(-1, COL_BLOCK, m)
+        v_spec = _col_spec(m)
+    nb, ncb = x_p.shape[0], y_p.shape[0]
+    daug = x_aug.shape[-1]
 
     partials = pl.pallas_call(
-        functools.partial(_gram_reduce_kernel, kind),
-        grid=(nb,),
+        functools.partial(_gram_grads_kernel, kind, m == 1),
+        grid=(nb, ncb),
         in_specs=[
-            pl.BlockSpec(
-                (1, 8, ROW_BLOCK // 8, d),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 8, ROW_BLOCK // 8), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _row_spec(daug),
+            _row_spec(d),
+            _col_spec(daug),
+            _col_spec(1 + 2 * d),
+            v_spec,
+            _row_spec(m),
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, 1 + d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, 8, 128), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-    )(x_p, y_p, v_p, u_p, params)
-    total = jnp.sum(partials, axis=0)
-    return total[0, 0], total[0, 1]
+        out_shape=jax.ShapeDtypeStruct((nb, 8, 1 + d), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
+    )(x_p, xs_p, y_p, ys_p, v_p, u_p)
+    total = jnp.sum(partials, axis=(0, 1))  # (1 + d,)
+    d_out = total[0]
+    dsq_sums = total[1:]
+    # sq = sum_d (x_d - y_d)^2 / ell_d^2, so d sq / d ell_d =
+    # -2 sq_d / ell_d; w already carries dg/dsq.
+    d_ell_vec = outputscale * (-2.0 / ell) * dsq_sums
+    d_ell = d_ell_vec if jnp.ndim(ell) else jnp.sum(d_ell_vec)
+    return d_ell, d_out
 
 
 def gram_matvec_fused(kind: str):
     """Return ``matvec(x, y, v, lengthscale, outputscale) -> K(x,y) @ v``.
 
-    Differentiable w.r.t. ``v``, ``lengthscale`` and ``outputscale``
-    (not the data); the backward pass streams the tiles again instead
-    of storing them.  ``lengthscale`` is a scalar (isotropic kernels);
-    the ARD kernels in ``models.gp`` use the XLA policies.
+    ``v`` may be ``(N,)`` or ``(N, m)`` (multi-vector: SLQ probe batches
+    ride a single kernel-evaluation pass).  ``lengthscale`` may be a
+    scalar or a ``(d,)`` ARD vector.  Differentiable w.r.t. ``v``,
+    ``lengthscale`` and ``outputscale`` (not the data); the backward
+    pass streams the tiles again instead of storing N^2 residuals, so
+    gradient evaluation is O(N) memory at any N.
     """
+    if kind not in _ALPHA:
+        msg = f"kind={kind!r} not supported"
+        raise ValueError(msg)
 
     @jax.custom_vjp
     def matvec(x, y, v, lengthscale, outputscale):
