@@ -143,7 +143,7 @@ def _gram_matvec_kernel_multi(kind, x_ref, y_ref, v_ref, out_ref):
         k,
         v_ref[0],
         dimension_numbers=(((2,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
 

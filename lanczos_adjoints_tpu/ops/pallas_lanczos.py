@@ -231,7 +231,257 @@ def lanczos_adjoint_dia(dia, krylov_depth: int, *, interpret: bool = False):
     return adjoint
 
 
-def tridiag_dia_fused(dia, krylov_depth: int, *, interpret: bool = False):
+# ---------------------------------------------------------------------------
+# Large-n streaming variants: the basis streams to/from HBM one row per
+# grid step (the Pallas pipeline double-buffers the row DMA); only the
+# operator values and O(1) iterate vectors stay VMEM-resident.  This
+# lifts the (K+1)*n VMEM ceiling of the resident kernels to an
+# (num_diags + ~6)*n working-set ceiling -- n = 1M at K = 90 runs fused.
+# ---------------------------------------------------------------------------
+
+_STREAM_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _lanczos_stream_kernel(
+    offsets, krylov_depth, vals_ref, v0_ref, x_out_ref, coef_ref,
+    xprev_buf, x_buf, scal_ref,
+):
+    """Grid step 0 initialises; step i >= 1 runs Lanczos step i - 1 and
+    emits basis row i through the pipelined output block."""
+    i = pl.program_id(0)
+    n_rows = v0_ref.shape[0]
+
+    def matvec(x):
+        acc = jnp.zeros_like(x)
+        for k, d in enumerate(offsets):
+            acc = acc + vals_ref[k] * _flat_roll(x, d, n_rows)
+        return acc
+
+    @pl.when(i == 0)
+    def _():
+        v0 = v0_ref[:]
+        norm0 = jnp.sqrt(jnp.sum(v0 * v0))
+        x0 = v0 / norm0
+        x_buf[:] = x0
+        xprev_buf[:] = jnp.zeros_like(x0)
+        scal_ref[0] = 0.0  # beta carry
+        x_out_ref[0] = x0
+
+    @pl.when(i > 0)
+    def _():
+        step = i - 1
+        x = x_buf[:]
+        ax = matvec(x)
+        alpha = jnp.sum(x * ax)
+        resid = ax - alpha * x - scal_ref[0] * xprev_buf[:]
+        beta_next = jnp.sqrt(jnp.sum(resid * resid))
+        x_next = resid / beta_next
+        x_out_ref[0] = x_next
+        xprev_buf[:] = x
+        x_buf[:] = x_next
+        coef_ref[0, step] = alpha
+        coef_ref[1, step] = beta_next
+        scal_ref[0] = beta_next
+
+
+def _lanczos_stream_adjoint_kernel(
+    offsets, krylov_depth, vals_ref, xs_row_ref, coef_ref, dxs_row_ref,
+    dcoef_ref, dv_ref, dvals_ref, xnext_buf, xi_buf, lam_buf,
+):
+    """Reverse streaming adjoint: grid step j = 0 primes with row K;
+    step j >= 1 runs adjoint step i = K - j on the streamed rows."""
+    j = pl.program_id(0)
+    n_rows = dv_ref.shape[0]
+    k = krylov_depth
+
+    def matvec(x):
+        acc = jnp.zeros_like(x)
+        for slot, d in enumerate(offsets):
+            acc = acc + vals_ref[slot] * _flat_roll(x, d, n_rows)
+        return acc
+
+    @pl.when(j == 0)
+    def _():
+        xnext_buf[:] = xs_row_ref[0]  # row K
+        xi_buf[:] = -dxs_row_ref[0]
+        lam_buf[:] = jnp.zeros_like(lam_buf)
+        dvals_ref[...] = jnp.zeros_like(dvals_ref)
+
+    @pl.when(j > 0)
+    def _():
+        i = k - j
+        x = xs_row_ref[0]
+        x_next = xnext_buf[:]
+        lam_next = lam_buf[:]
+        alpha = coef_ref[0, i]
+        beta = coef_ref[1, i]
+        dalpha = dcoef_ref[0, i]
+        dbeta = dcoef_ref[1, i]
+
+        xi = xi_buf[:] / beta
+        mu = dbeta - jnp.sum(lam_next * x) + jnp.sum(x_next * xi)
+        nu = dalpha + jnp.sum(x * xi)
+        lam = -xi + mu * x_next + nu * x
+
+        at_lam = jnp.zeros_like(lam)
+        for slot, d in enumerate(offsets):
+            rolled = _flat_roll(lam, d, n_rows)
+            at_lam = at_lam + vals_ref[slot] * rolled
+            dvals_ref[slot] = dvals_ref[slot] + x * rolled
+
+        xi_prev = (
+            -dxs_row_ref[0] - at_lam + alpha * lam + beta * lam_next
+            - beta * nu * x_next
+        )
+        xi_buf[:] = xi_prev
+        lam_buf[:] = lam
+        xnext_buf[:] = x
+
+        @pl.when(i == 0)
+        def _():
+            inv_norm = coef_ref[2, 0]
+            dv_ref[:] = (jnp.sum(xi_prev * x) * x - xi_prev) * inv_norm
+
+
+def lanczos_forward_dia_stream(dia, krylov_depth: int, *, interpret: bool = False):
+    """HBM-streaming fused forward; same contract as lanczos_forward_dia."""
+    n = dia.shape[0]
+    if n % LANES != 0:
+        msg = f"n={n} must be a multiple of {LANES} for the fused kernel"
+        raise ValueError(msg)
+    n_rows = n // LANES
+    offsets = dia.offsets
+    kernel = functools.partial(_lanczos_stream_kernel, offsets, krylov_depth)
+
+    def forward(v0, vals):
+        vals_tiled = vals.reshape(len(offsets), n_rows, LANES)
+        v0_tiled = v0.reshape(n_rows, LANES)
+        xs_tiled, coeffs = pl.pallas_call(
+            kernel,
+            grid=(krylov_depth + 1,),
+            in_specs=[
+                pl.BlockSpec(
+                    (len(offsets), n_rows, LANES),
+                    lambda i: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (n_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, n_rows, LANES), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((krylov_depth + 1, n_rows, LANES), v0.dtype),
+                jax.ShapeDtypeStruct((2, krylov_depth), v0.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_rows, LANES), jnp.float32),
+                pltpu.VMEM((n_rows, LANES), jnp.float32),
+                pltpu.SMEM((1,), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_STREAM_VMEM_LIMIT,
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(vals_tiled, v0_tiled)
+
+        xs = xs_tiled.reshape(krylov_depth + 1, n)
+        alphas, betas = coeffs[0], coeffs[1]
+        decomposition = (xs[:-1], (alphas, betas[:-1]))
+        remainder = (xs[-1], betas[-1])
+        return decomposition, remainder
+
+    return forward
+
+
+def lanczos_adjoint_dia_stream(dia, krylov_depth: int, *, interpret: bool = False):
+    """HBM-streaming fused adjoint; same contract as lanczos_adjoint_dia."""
+    n = dia.shape[0]
+    n_rows = n // LANES
+    offsets = dia.offsets
+    k = krylov_depth
+    kernel = functools.partial(_lanczos_stream_adjoint_kernel, offsets, k)
+
+    def adjoint(vals, xs, alphas, betas, inv_norm, dxs, dalphas, dbetas):
+        vals_tiled = vals.reshape(len(offsets), n_rows, LANES)
+        xs_tiled = xs.reshape(k + 1, n_rows, LANES)
+        dxs_tiled = dxs.reshape(k + 1, n_rows, LANES)
+        coef = jnp.stack([alphas, betas, jnp.full_like(alphas, inv_norm)])
+        dcoef = jnp.stack([dalphas, dbetas])
+
+        dv_tiled, dvals_tiled = pl.pallas_call(
+            kernel,
+            grid=(k + 1,),
+            in_specs=[
+                pl.BlockSpec(
+                    (len(offsets), n_rows, LANES),
+                    lambda j: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, n_rows, LANES),
+                    lambda j: (k - j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, n_rows, LANES),
+                    lambda j: (k - j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (n_rows, LANES), lambda j: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (len(offsets), n_rows, LANES),
+                    lambda j: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_rows, LANES), vals.dtype),
+                jax.ShapeDtypeStruct((len(offsets), n_rows, LANES), vals.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_rows, LANES), jnp.float32),
+                pltpu.VMEM((n_rows, LANES), jnp.float32),
+                pltpu.VMEM((n_rows, LANES), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_STREAM_VMEM_LIMIT,
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(vals_tiled, xs_tiled, coef, dxs_tiled, dcoef)
+        return dv_tiled.reshape(n), dvals_tiled.reshape(len(offsets), n)
+
+    return adjoint
+
+
+# Resident-basis kernels keep everything in VMEM; prefer them while the
+# basis fits (lower per-step overhead), else stream the basis rows.
+_RESIDENT_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def _fits_resident(dia, krylov_depth):
+    n = dia.shape[0]
+    vecs = 2 * (krylov_depth + 1) + 2 * len(dia.offsets) + 6
+    return vecs * n * 4 <= _RESIDENT_VMEM_BUDGET
+
+
+def tridiag_dia_fused(
+    dia, krylov_depth: int, *, interpret: bool = False, stream: bool = None
+):
     """Drop-in ``krylov.tridiag(..., reortho="none")`` for DIA operators.
 
     Forward AND adjoint each run as one fused Pallas kernel: the whole
@@ -239,9 +489,23 @@ def tridiag_dia_fused(dia, krylov_depth: int, *, interpret: bool = False):
     per-diagonal parameter-gradient accumulation) execute without
     leaving VMEM.  Gradient semantics identical to ``krylov.tridiag``'s
     custom VJP.
+
+    ``stream=None`` picks the basis-resident kernels while the whole
+    decomposition fits VMEM and the HBM-streaming variants beyond that
+    (n = 1M at K = 90 runs fused).
     """
-    fused_forward = lanczos_forward_dia(dia, krylov_depth, interpret=interpret)
-    fused_adjoint = lanczos_adjoint_dia(dia, krylov_depth, interpret=interpret)
+    if stream is None:
+        stream = not _fits_resident(dia, krylov_depth)
+    if stream:
+        fused_forward = lanczos_forward_dia_stream(
+            dia, krylov_depth, interpret=interpret
+        )
+        fused_adjoint = lanczos_adjoint_dia_stream(
+            dia, krylov_depth, interpret=interpret
+        )
+    else:
+        fused_forward = lanczos_forward_dia(dia, krylov_depth, interpret=interpret)
+        fused_adjoint = lanczos_adjoint_dia(dia, krylov_depth, interpret=interpret)
 
     @jax.custom_vjp
     def estimate(v0, vals):

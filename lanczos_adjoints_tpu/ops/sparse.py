@@ -209,6 +209,9 @@ def dia_matvec_fn(dia: DIAData):
             out = out + vals[k] * jnp.roll(v, -d)
         return out
 
+    # Tag the closure so krylov.tridiag can recognise the operator and
+    # auto-dispatch to the fused Pallas Lanczos kernel.
+    matvec.dia_data = dia
     return matvec
 
 
@@ -223,52 +226,71 @@ def dia_matvec_fn(dia: DIAData):
 # BSR layout (128x128 tiles, block-ELL padded)
 # ---------------------------------------------------------------------------
 
-BSR_TILE = 128
+BSR_TILE = 128  # column tile length (lane dimension)
+BSR_TILE_ROWS = 8  # row tile length (sublane dimension)
 
 
 class BSRData(NamedTuple):
+    """Block-ELL storage of (tile_rows, 128) tiles.
+
+    The narrow default row tile matters: at FEM-like densities
+    (~80 nnz/row) a 128x128 tile is ~1% filled, so the matvec would
+    stream ~100x the nnz bytes; (8, 128) tiles -- the native f32
+    register tile -- cut the padding ~10x while keeping every memory
+    access a full-lane row.
+    """
+
     block_cols: jax.Array  # (num_row_blocks, width) int32
     scatter_idx: np.ndarray  # CSR entry -> flat index into tile storage
     width: int
     shape: tuple  # original (possibly unpadded) shape
-    padded_n: int
+    padded_n: int  # padded row count
+    padded_cols: int  # padded column count
     nnz: int
+    tile_rows: int
 
     @property
     def num_slots(self) -> int:
-        return int(self.block_cols.shape[0]) * self.width * BSR_TILE * BSR_TILE
+        return (
+            int(self.block_cols.shape[0])
+            * self.width
+            * self.tile_rows
+            * BSR_TILE
+        )
 
 
-def bsr_pack(mat: CSRMatrix) -> BSRData:
-    n = mat.shape[0]
-    padded_n = -(-n // BSR_TILE) * BSR_TILE
-    nb = padded_n // BSR_TILE
+def bsr_pack(mat: CSRMatrix, *, tile_rows: int = BSR_TILE_ROWS) -> BSRData:
+    n_r, n_c = mat.shape
+    padded_n = -(-n_r // tile_rows) * tile_rows
+    padded_cols = -(-n_c // BSR_TILE) * BSR_TILE
+    nbr = padded_n // tile_rows
+    ncb = padded_cols // BSR_TILE
 
     rows, cols = mat.rows, mat.indices
-    brow, bcol = rows // BSR_TILE, cols // BSR_TILE
+    brow, bcol = rows // tile_rows, cols // BSR_TILE
 
     # Unique (brow, bcol) tiles, block-ELL padded to uniform width.
-    keys = brow * nb + bcol
+    keys = brow * ncb + bcol
     uniq, entry_tile = np.unique(keys, return_inverse=True)
-    tile_brow, tile_bcol = uniq // nb, uniq % nb
-    counts = np.bincount(tile_brow, minlength=nb)
+    tile_brow, tile_bcol = uniq // ncb, uniq % ncb
+    counts = np.bincount(tile_brow, minlength=nbr)
     width = max(1, int(counts.max()))
 
     # slot of each unique tile within its row block
     tile_slot = np.zeros(len(uniq), dtype=np.int64)
-    seen = np.zeros(nb, dtype=np.int64)
+    seen = np.zeros(nbr, dtype=np.int64)
     order = np.argsort(tile_brow, kind="stable")
     for t in order:
         tile_slot[t] = seen[tile_brow[t]]
         seen[tile_brow[t]] += 1
 
-    block_cols = np.zeros((nb, width), dtype=np.int32)
+    block_cols = np.zeros((nbr, width), dtype=np.int32)
     block_cols[tile_brow, tile_slot] = tile_bcol
 
     flat_tile = tile_brow * width + tile_slot  # flat tile id per unique tile
-    r_in, c_in = rows % BSR_TILE, cols % BSR_TILE
+    r_in, c_in = rows % tile_rows, cols % BSR_TILE
     scatter_idx = (
-        flat_tile[entry_tile] * BSR_TILE * BSR_TILE + r_in * BSR_TILE + c_in
+        flat_tile[entry_tile] * tile_rows * BSR_TILE + r_in * BSR_TILE + c_in
     )
     return BSRData(
         block_cols=jnp.asarray(block_cols),
@@ -276,27 +298,39 @@ def bsr_pack(mat: CSRMatrix) -> BSRData:
         width=width,
         shape=mat.shape,
         padded_n=padded_n,
+        padded_cols=padded_cols,
         nnz=mat.nnz,
+        tile_rows=tile_rows,
     )
 
 
 def bsr_values(bsr: BSRData, csr_data) -> jax.Array:
-    nb = bsr.padded_n // BSR_TILE
-    flat = np.zeros(nb * bsr.width * BSR_TILE * BSR_TILE, np.asarray(csr_data).dtype)
+    nbr = bsr.padded_n // bsr.tile_rows
+    flat = np.zeros(
+        nbr * bsr.width * bsr.tile_rows * BSR_TILE, np.asarray(csr_data).dtype
+    )
     flat[bsr.scatter_idx] = np.asarray(csr_data)
-    return jnp.asarray(flat.reshape(nb, bsr.width, BSR_TILE, BSR_TILE))
+    return jnp.asarray(flat.reshape(nbr, bsr.width, bsr.tile_rows, BSR_TILE))
+
+
+def bsr_gather_vblocks(bsr: BSRData, v):
+    """(num_row_blocks, width, 128) source blocks of v for each tile.
+
+    A 128-lane row gather (measured ~855 GB/s on v5e, vs ~1 GB/s for
+    element gathers): the only indexed access in the BSR matvec.
+    """
+    n_c = bsr.shape[1]
+    vpad = jnp.pad(v, (0, bsr.padded_cols - n_c)) if bsr.padded_cols != n_c else v
+    v2 = vpad.reshape(-1, BSR_TILE)
+    gathered = jnp.take(v2, bsr.block_cols.reshape(-1), axis=0)
+    return gathered.reshape(*bsr.block_cols.shape, BSR_TILE)
 
 
 def bsr_matvec_fn(bsr: BSRData):
     n = bsr.shape[0]
-    padded_n = bsr.padded_n
-    block_cols = bsr.block_cols
 
     def matvec(v, tiles):
-        vpad = jnp.pad(v, (0, padded_n - n)) if padded_n != n else v
-        v2 = vpad.reshape(-1, BSR_TILE)
-        gathered = jnp.take(v2, block_cols.reshape(-1), axis=0)
-        gathered = gathered.reshape(*block_cols.shape, BSR_TILE)
+        gathered = bsr_gather_vblocks(bsr, v)
         out = jnp.einsum(
             "nwrc,nwc->nr", tiles, gathered, precision="highest"
         )

@@ -1,0 +1,91 @@
+"""krylov.tridiag auto-dispatches DIA-tagged operators to the fused kernel."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanczos_adjoints_tpu.krylov import lanczos
+from lanczos_adjoints_tpu.ops import pallas_lanczos, sparse
+
+
+def _laplacian_1d(n):
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.concatenate(
+        [np.full(n, 2.0), np.full(n - 1, -1.0), np.full(n - 1, -1.0)]
+    ).astype(np.float32)
+    return sparse.csr_from_coo(rows, cols, vals, shape=(n, n))
+
+
+@pytest.fixture()
+def _fused_on_cpu(monkeypatch):
+    """Make the dispatch conditions hold on the CPU test backend."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fused = functools.partial(pallas_lanczos.tridiag_dia_fused, interpret=True)
+    monkeypatch.setattr(pallas_lanczos, "tridiag_dia_fused", fused)
+
+
+def test_dispatch_fires_and_matches_plain(_fused_on_cpu, monkeypatch):
+    mat = _laplacian_1d(256)
+    matvec, vals = sparse.sparse_operator(mat, format="dia")
+    assert matvec.dia_data is not None
+
+    calls = []
+    orig = pallas_lanczos.tridiag_dia_fused
+
+    def spy(*a, **k):
+        calls.append(a)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pallas_lanczos, "tridiag_dia_fused", spy)
+
+    v0 = jax.random.normal(jax.random.PRNGKey(0), (256,), jnp.float32)
+    auto = lanczos.tridiag(matvec, 10, reortho="none")
+    plain = lanczos.tridiag(matvec, 10, reortho="none", allow_fused=False)
+    (xs_a, (al_a, be_a)), (r_a, b_a) = auto(v0, vals)
+    (xs_p, (al_p, be_p)), (r_p, b_p) = plain(v0, vals)
+    assert calls, "fused path was not dispatched"
+    assert jnp.allclose(al_a, al_p, atol=1e-5)
+    assert jnp.allclose(be_a, be_p, atol=1e-5)
+    assert jnp.allclose(xs_a, xs_p, atol=1e-5)
+
+    # Gradients agree between the fused adjoint and the generic path.
+    def loss(fn, v, vl):
+        (_, (al, be)), _ = fn(v, vl)
+        return jnp.sum(al) + jnp.sum(be**2)
+
+    ga = jax.grad(loss, argnums=(1, 2))(auto, v0, vals)
+    gp = jax.grad(loss, argnums=(1, 2))(plain, v0, vals)
+    for a, b in zip(ga, gp):
+        assert jnp.allclose(a, b, atol=1e-4)
+
+
+def test_dispatch_falls_back_when_too_large(_fused_on_cpu, monkeypatch):
+    """A basis beyond the VMEM budget runs the generic scan path."""
+    called = []
+    monkeypatch.setattr(
+        pallas_lanczos,
+        "tridiag_dia_fused",
+        lambda *a, **k: called.append(a) or (_ for _ in ()).throw(AssertionError),
+    )
+    monkeypatch.setattr(lanczos, "_FUSED_VMEM_BUDGET_BYTES", 1024)
+    mat = _laplacian_1d(256)
+    matvec, vals = sparse.sparse_operator(mat, format="dia")
+    v0 = jnp.ones((256,), jnp.float32)
+    estimate = lanczos.tridiag(matvec, 8, reortho="none")
+    (_, (al, _)), _ = estimate(v0, vals)
+    assert not called
+    assert al.shape == (8,)
+
+
+def test_dispatch_skipped_on_cpu_backend():
+    """On the CPU backend the plain path runs (no Mosaic available)."""
+    mat = _laplacian_1d(256)
+    matvec, vals = sparse.sparse_operator(mat, format="dia")
+    v0 = jnp.ones((256,), jnp.float32)
+    estimate = lanczos.tridiag(matvec, 8, reortho="none")
+    (_, (al, _)), _ = estimate(v0, vals)
+    assert al.shape == (8,)

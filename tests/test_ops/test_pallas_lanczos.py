@@ -62,3 +62,55 @@ def test_fused_requires_lane_multiple():
     dia = sparse.dia_pack(mat)
     with pytest.raises(ValueError, match="multiple"):
         pallas_lanczos.lanczos_forward_dia(dia, 5)
+
+
+def test_streaming_matches_resident():
+    """HBM-streaming kernels == basis-resident kernels, values and grads."""
+    interpret = jax.default_backend() == "cpu"
+    n, K = 512, 10
+    mat = _laplacian_1d(n)
+    dia = sparse.dia_pack(mat)
+    vals = sparse.dia_values(dia, mat.data).astype(jnp.float32)
+    v0 = jnp.asarray(np.random.default_rng(1).normal(size=n), jnp.float32)
+
+    resident = pallas_lanczos.tridiag_dia_fused(
+        dia, K, interpret=interpret, stream=False
+    )
+    streaming = pallas_lanczos.tridiag_dia_fused(
+        dia, K, interpret=interpret, stream=True
+    )
+
+    (Xs, (as_, bs)), (xrs, brs) = streaming(v0, vals)
+    (Xr, (ar, br)), (xrr, brr) = resident(v0, vals)
+    assert jnp.allclose(as_, ar, atol=1e-5)
+    assert jnp.allclose(bs, br, atol=1e-5)
+    assert jnp.allclose(Xs, Xr, atol=1e-5)
+    assert jnp.allclose(xrs, xrr, atol=1e-5)
+    assert jnp.allclose(brs, brr, atol=1e-5)
+
+    def loss(fn):
+        def run(v, vals):
+            (X, (a, b)), (xr, brm) = fn(v, vals)
+            return jnp.sum(a) + jnp.sum(b) + jnp.sum(X[3] ** 2) + jnp.sum(xr * brm)
+
+        return run
+
+    gs = jax.grad(loss(streaming), argnums=(0, 1))(v0, vals)
+    gr = jax.grad(loss(resident), argnums=(0, 1))(v0, vals)
+    for a, b in zip(gs, gr):
+        rel = jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-9)
+        assert rel < 1e-5, rel
+
+
+def test_stream_auto_selection():
+    mat = _laplacian_1d(512)
+    dia = sparse.dia_pack(mat)
+    assert pallas_lanczos._fits_resident(dia, 10)
+    big = sparse.DIAData(
+        offsets=dia.offsets,
+        shape=(1 << 20, 1 << 20),
+        nnz=dia.nnz,
+        diag_of_entry=dia.diag_of_entry,
+        pos_of_entry=dia.pos_of_entry,
+    )
+    assert not pallas_lanczos._fits_resident(big, 90)
