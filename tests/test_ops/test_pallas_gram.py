@@ -80,10 +80,10 @@ def test_fused_matches_xla(kind):
         assert rel < 10 * tol, rel
 
 
-@pytest.mark.parametrize("kind", ["rbf", "matern32"])
-def test_fused_multivector_and_ard(kind):
-    """(N, m) right-hand sides and per-dimension (ARD) lengthscales."""
-    n, d, m = 1500, 4, 5  # n deliberately not a block multiple
+@pytest.mark.parametrize("kind,d", [("rbf", 4), ("matern32", 4), ("matern32", 12)])
+def test_fused_multivector_and_ard(kind, d):
+    """(N, m) RHS and ARD lengthscales; d=12 exercises the MXU path."""
+    n, m = 1500, 5  # n deliberately not a block multiple
     key = jax.random.PRNGKey(2)
     kx, kv, kl = jax.random.split(key, 3)
     x = jax.random.normal(kx, (n, d), jnp.float32)
