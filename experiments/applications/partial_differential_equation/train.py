@@ -118,3 +118,6 @@ if __name__ == "__main__":
     np.save(f"{directory}{label}_convergence.npy", np.asarray(convergence))
     np.save(f"{directory}{label}_timestamps.npy", np.asarray(timestamps))
     np.save(f"{directory}{label}_matvecs.npy", np.asarray(matvecs))
+    # Learned wave-speed field (constrained), for plot_solution.py.
+    learned = np.asarray(apply(unflatten(params), mesh)) ** 2
+    np.save(f"{directory}{label}_scale_field.npy", learned)

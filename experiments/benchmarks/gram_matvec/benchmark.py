@@ -102,6 +102,19 @@ if __name__ == "__main__":
             )
         else:
             kern = kernel
+        # Fused Pallas streaming kernel (same GPyTorch parametrisation:
+        # softplus of the zero raw parameters).
+        from lanczos_adjoints_tpu.ops import pallas_gram
+
+        softplus0 = jnp.log(2.0)
+        fused = pallas_gram.gram_matvec_fused("rbf")
+        ell_val = jnp.full((x.shape[1],), softplus0, jnp.float32)
+
+        def fused_mv(x_, y_, v_, _f=fused, _e=ell_val):
+            return _f(x_, y_, v_, _e, softplus0)
+
+        policies["fused_pallas"] = lambda _kern, _mv=fused_mv: _mv
+
         for name, policy in policies.items():
             try:
                 t = time_matvec(policy(kern), x, v)

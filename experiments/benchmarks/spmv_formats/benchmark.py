@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lanczos_adjoints_tpu.ops import sparse
+from lanczos_adjoints_tpu.ops import pallas_bsr, sparse
 from lanczos_adjoints_tpu.utils import exp_util, timing
 
 
@@ -47,11 +47,21 @@ if __name__ == "__main__":
     parser.add_argument("--grid", type=int, default=1024)
     parser.add_argument("--random_n", type=int, default=65536)
     parser.add_argument("--random_nnz_per_row", type=int, default=8)
+    parser.add_argument("--fem_grid", type=int, default=24)
     args = parser.parse_args()
     print(args)
 
+    # FEM case: synthetic bcsstk-class stiffness pattern (3-D hex mesh,
+    # 3 dofs/node, ~81 nnz/row -- reference suite_sparse/benchmark.py:59-68
+    # timed bcsstk18; those archives are truncated in the offline bundle).
+    fem = pallas_bsr.fem_test_matrix(args.fem_grid, dofs=3)
+    perm = sparse.reverse_cuthill_mckee(fem)
+    fem_rcm = sparse.permute_symmetric(fem, perm)
+
     cases = [
-        ("laplacian_2d", laplacian_2d(args.grid), ["dia", "bsr", "ell"]),
+        ("laplacian_2d", laplacian_2d(args.grid), ["dia", "ell"]),
+        ("fem_3dof", fem, ["bsr", "bsr_pallas"]),
+        ("fem_3dof_rcm", fem_rcm, ["bsr", "bsr_pallas"]),
         (
             "random",
             random_csr(args.random_n, args.random_nnz_per_row),
@@ -64,25 +74,44 @@ if __name__ == "__main__":
         v = jnp.ones((mat.shape[0],), jnp.float32)
         for fmt in formats:
             try:
-                matvec, values, info = sparse.sparse_operator(
-                    mat, format=fmt, with_info=True
-                )
+                if fmt == "bsr_pallas":
+                    bsr = sparse.bsr_pack(mat)
+                    values = sparse.bsr_values(bsr, mat.data)
+                    matvec = pallas_bsr.bsr_matvec_pallas(
+                        bsr, symmetric=mat.is_symmetric()
+                    )
+                    itemsize = 4
+                    info = sparse.OperatorInfo(
+                        format=fmt,
+                        stored_slots=bsr.num_slots,
+                        nnz=mat.nnz,
+                        bytes_per_matvec=bsr.num_slots * itemsize
+                        + 2 * mat.shape[0] * itemsize,
+                    )
+                else:
+                    matvec, values, info = sparse.sparse_operator(
+                        mat, format=fmt, with_info=True
+                    )
             except Exception as err:  # noqa: BLE001
                 print(f"{case_name}/{fmt}: pack failed ({type(err).__name__})")
                 continue
             t = timing.slope_time(lambda x: matvec(x, values), v, reps=8)
             nnz_s = mat.nnz / t
             bw = info.bytes_per_matvec / t
+            # VJP (transpose matvec + value gradient) throughput.
+            grad = jax.jit(jax.grad(lambda x, vl: jnp.sum(matvec(x, vl) ** 2), argnums=0))
+            t_vjp = timing.slope_time(lambda x: grad(x, values), v, reps=8)
             print(
                 f"{case_name}/{fmt}: {t * 1e3:.3f} ms/matvec "
                 f"({nnz_s / 1e9:.2f} Gnnz/s, {bw / 1e9:.0f} GB/s eff, "
-                f"fill {info.fill_efficiency:.3f})"
+                f"fill {info.fill_efficiency:.3f}); vjp {t_vjp * 1e3:.3f} ms"
             )
             results.append(
                 {
                     "case": case_name,
                     "format": fmt,
                     "time_s": t,
+                    "time_vjp_s": t_vjp,
                     "nnz_per_s": nnz_s,
                     "fill": info.fill_efficiency,
                 }

@@ -23,12 +23,18 @@ def slope_time(
     reps: int = 8,
     outer: int = 5,
     feedback_scale: float = 1e-12,
+    min_window: float = 5e-3,
+    max_reps: int = 4096,
 ):
     """On-device seconds per evaluation of ``fn(*args)``.
 
     ``fn`` must map its first argument (an array) to an array of the
     same shape (or something summable); iterations are chained through
     a tiny feedback term so the compiler cannot dedupe them.
+
+    Fast workloads auto-escalate ``reps`` until the measured window
+    exceeds ``min_window`` seconds -- below that the relay's per-call
+    jitter dominates and the slope can even come out negative.
     """
     import jax
     import jax.numpy as jnp
@@ -49,20 +55,28 @@ def slope_time(
         _x, acc = jax.lax.fori_loop(0, reps, body, (first, 0.0))
         return acc
 
-    fn_many = jax.jit(functools.partial(repeated, reps=reps))
     fn_one = jax.jit(functools.partial(repeated, reps=1))
-    np.asarray(fn_many(first))  # compile + execute once
-    np.asarray(fn_one(first))
+    np.asarray(fn_one(first))  # compile + execute once
 
-    t_many, t_one = [], []
-    for _ in range(outer):
-        t0 = time.perf_counter()
+    def measure(reps):
+        fn_many = jax.jit(functools.partial(repeated, reps=reps))
         np.asarray(fn_many(first))
-        t_many.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(fn_one(first))
-        t_one.append(time.perf_counter() - t0)
-    return (float(np.median(t_many)) - float(np.median(t_one))) / (reps - 1)
+        t_many, t_one = [], []
+        for _ in range(outer):
+            t0 = time.perf_counter()
+            np.asarray(fn_many(first))
+            t_many.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(fn_one(first))
+            t_one.append(time.perf_counter() - t0)
+        window = float(np.median(t_many)) - float(np.median(t_one))
+        return window / (reps - 1), window
+
+    per_iter, window = measure(reps)
+    while window < min_window and reps < max_reps:
+        reps = min(max_reps, reps * 8)
+        per_iter, window = measure(reps)
+    return per_iter
 
 
 @contextlib.contextmanager
