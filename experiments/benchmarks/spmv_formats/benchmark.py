@@ -58,8 +58,11 @@ if __name__ == "__main__":
     perm = sparse.reverse_cuthill_mckee(fem)
     fem_rcm = sparse.permute_symmetric(fem, perm)
 
+    # ELL's element-gather transpose is the documented XLA:TPU pathology
+    # (~1 GB/s); time it at a size where the VJP finishes in seconds.
     cases = [
-        ("laplacian_2d", laplacian_2d(args.grid), ["dia", "ell"]),
+        ("laplacian_2d", laplacian_2d(args.grid), ["dia"]),
+        ("laplacian_2d_small", laplacian_2d(args.grid // 4), ["dia", "ell"]),
         ("fem_3dof", fem, ["bsr", "bsr_pallas"]),
         ("fem_3dof_rcm", fem_rcm, ["bsr", "bsr_pallas"]),
         (
