@@ -98,12 +98,15 @@ if __name__ == "__main__":
             except Exception as err:  # noqa: BLE001
                 print(f"{case_name}/{fmt}: pack failed ({type(err).__name__})")
                 continue
-            t = timing.slope_time(lambda x: matvec(x, values), v, reps=8)
+            # ``values`` rides through slope_time as a traced argument:
+            # closing over it would embed the array in the lowered HLO
+            # (hundreds of MB for the FEM cases).
+            t = timing.slope_time(matvec, v, values, reps=8)
             nnz_s = mat.nnz / t
             bw = info.bytes_per_matvec / t
             # VJP (transpose matvec + value gradient) throughput.
-            grad = jax.jit(jax.grad(lambda x, vl: jnp.sum(matvec(x, vl) ** 2), argnums=0))
-            t_vjp = timing.slope_time(lambda x: grad(x, values), v, reps=8)
+            grad = jax.grad(lambda x, vl: jnp.sum(matvec(x, vl) ** 2), argnums=0)
+            t_vjp = timing.slope_time(grad, v, values, reps=8)
             print(
                 f"{case_name}/{fmt}: {t * 1e3:.3f} ms/matvec "
                 f"({nnz_s / 1e9:.2f} Gnnz/s, {bw / 1e9:.0f} GB/s eff, "

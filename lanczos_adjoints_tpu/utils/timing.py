@@ -41,7 +41,11 @@ def slope_time(
 
     first, *rest = args
 
-    def repeated(first, reps):
+    # ``rest`` is threaded through as traced jit arguments: capturing
+    # large arrays in the closure would embed them in the lowered module
+    # as dense literals (a 340 MB HLO for a 3M-nnz BSR operator, which
+    # overflows remote-compile request limits).
+    def repeated(first, *rest, reps):
         def body(_i, carry):
             x, acc = carry
             out = fn(x, *rest)
@@ -56,18 +60,18 @@ def slope_time(
         return acc
 
     fn_one = jax.jit(functools.partial(repeated, reps=1))
-    np.asarray(fn_one(first))  # compile + execute once
+    np.asarray(fn_one(first, *rest))  # compile + execute once
 
     def measure(reps):
         fn_many = jax.jit(functools.partial(repeated, reps=reps))
-        np.asarray(fn_many(first))
+        np.asarray(fn_many(first, *rest))
         t_many, t_one = [], []
         for _ in range(outer):
             t0 = time.perf_counter()
-            np.asarray(fn_many(first))
+            np.asarray(fn_many(first, *rest))
             t_many.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            np.asarray(fn_one(first))
+            np.asarray(fn_one(first, *rest))
             t_one.append(time.perf_counter() - t0)
         window = float(np.median(t_many)) - float(np.median(t_one))
         return window / (reps - 1), window
