@@ -40,6 +40,12 @@ def build_argparser(parser):
     parser.add_argument("--seed", type=int, required=True)
     parser.add_argument("--dataset", type=str, required=True)
     parser.add_argument("--rank_precon", type=int, required=True)
+    parser.add_argument(
+        "--precon_block",
+        type=int,
+        default=1,
+        help="pivots per sweep for the blocked partial Cholesky (1=sequential)",
+    )
     parser.add_argument("--num_partitions", type=int, required=True)
     parser.add_argument("--num_matvecs", type=int, required=True)
     parser.add_argument("--num_samples", type=int, required=True)
@@ -102,7 +108,16 @@ def run(args, *, script_file, solver_mode: str):
         matfun=log_clipped(),
     )
     rank_precon = int(min(args.rank_precon, len(train_x)))
-    cholesky = precond.cholesky_partial_pivot(rank=rank_precon)
+    if args.precon_block > 1:
+        # Round the rank down to a block multiple (blocked sweeps).
+        rank_precon = max(
+            args.precon_block, rank_precon // args.precon_block * args.precon_block
+        )
+        cholesky = precond.cholesky_partial_pivot_blocked(
+            rank=rank_precon, block=args.precon_block
+        )
+    else:
+        cholesky = precond.cholesky_partial_pivot(rank=rank_precon)
     precondition = precond.preconditioner(cholesky)
     logpdf_p = gp.logpdf_krylov_p(solve_p, logdet)
     if args.num_partitions == 1:

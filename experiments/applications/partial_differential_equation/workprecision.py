@@ -41,8 +41,18 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--resolution", type=int, default=64)
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument(
+        "--x64",
+        action="store_true",
+        help="float64 on CPU: shows the convergence range below the f32"
+        " floor (ROADMAP work-precision item; reference ran f32-GPU only)",
+    )
     args = parser.parse_args()
     print(args)
+
+    if args.x64:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
 
     n = args.resolution
     xs_1d = jnp.linspace(0.0, 1.0, n)
@@ -74,7 +84,8 @@ if __name__ == "__main__":
     g_ref_norm = np.linalg.norm(g_ref)
 
     results = []
-    for depth in [4, 6, 8, 10, 14, 20]:
+    depths = [4, 6, 8, 10, 14, 20] + ([26, 32] if args.x64 else [])
+    for depth in depths:
         solve = pde.solver_expm(0.0, 1.0, vf, pde.expm_arnoldi(depth))
         v, g, info = value_and_grad_of(solve)
         err = float(np.linalg.norm(g - g_ref) / g_ref_norm)
@@ -91,6 +102,7 @@ if __name__ == "__main__":
 
     directory = exp_util.matching_directory(__file__, "results/")
     os.makedirs(directory, exist_ok=True)
-    with open(f"{directory}workprecision_s{args.seed}.json", "w") as fp:
+    tag = "_x64" if args.x64 else ""
+    with open(f"{directory}workprecision{tag}_s{args.seed}.json", "w") as fp:
         json.dump(results, fp, indent=2)
-    print("saved", f"{directory}workprecision_s{args.seed}.json")
+    print("saved", f"{directory}workprecision{tag}_s{args.seed}.json")

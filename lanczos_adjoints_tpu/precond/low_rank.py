@@ -175,6 +175,81 @@ def _pivot_body(element: Callable, n: int, rank: int, *params):
     return body, initial_diag
 
 
+def cholesky_partial_pivot_blocked(*, rank: int, block: int = 64) -> Callable:
+    """Partial Cholesky with *block*-greedy diagonal pivoting.
+
+    The sequential variant (``cholesky_partial_pivot``) runs ``rank``
+    dependent steps whose per-step work is one lazy kernel column and an
+    ``(n, rank) @ (rank,)`` matvec -- MXU-hostile at TPU tile sizes.
+    This variant selects the ``block`` largest residual-diagonal entries
+    per sweep (``jax.lax.top_k``), evaluates the whole kernel panel at
+    once, and applies the Schur-complement update as ``(n, rank) @
+    (rank, block)`` matmuls: the same O(n rank^2) total FLOPs, but in
+    rank/block MXU-shaped steps.
+
+    The block selection is *greedy per sweep* instead of per column, so
+    the pivot sequence (and hence L) differs slightly from the
+    sequential variant; the approximation quality is equivalent in
+    practice (tested: equal-rank residuals within a small factor).
+    No row permutation is materialised -- columns are built directly in
+    the original ordering.  Non-differentiable, like the other
+    factorisations.  No reference counterpart (sequential only,
+    low_rank.py:120-210); this is a TPU-shaped redesign.
+    """
+    if rank % block != 0:
+        msg = f"rank={rank} must be a multiple of block={block}"
+        raise ValueError(msg)
+
+    def cholesky(lazy_kernel: Callable, n: int, /):
+        _check_rank(rank, n)
+        if block > n:
+            msg = f"block={block} exceeds n={n}"
+            raise ValueError(msg)
+        element, aux_args = jax.closure_convert(lazy_kernel, 0, 0)
+        return _cholesky(element, n, *aux_args)
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=[0, 1])
+    @highest_precision
+    def _cholesky(element: Callable, n: int, *params):
+        all_idx = jnp.arange(n)
+
+        def panel(cols_idx):
+            # (n, block) panel of kernel columns.
+            return jax.vmap(
+                lambda j: jax.vmap(lambda i: element(i, j, *params))(all_idx),
+                out_axes=1,
+            )(cols_idx)
+
+        def sweep(s, carry):
+            L, residual_diag, success = carry
+            _, piv = jax.lax.top_k(jnp.abs(residual_diag), block)
+
+            C = panel(piv) - L @ L[piv, :].T  # residual panel (n, block)
+            S = C[piv, :]  # residual block (block, block)
+            U = jnp.linalg.cholesky(S)
+            success = jnp.logical_and(success, jnp.all(jnp.isfinite(U)))
+            W = jax.scipy.linalg.solve_triangular(U, C.T, lower=True).T
+
+            L = jax.lax.dynamic_update_slice(L, W, (0, s * block))
+            residual_diag = residual_diag - jnp.sum(W * W, axis=1)
+            return L, residual_diag, success
+
+        diag0 = jax.vmap(lambda i: element(i, i, *params))(all_idx)
+        init = (jnp.zeros((n, rank)), diag0, True)
+        L, _rd, success = jax.lax.fori_loop(0, rank // block, sweep, init)
+        return L, {"success": success}
+
+    def _fwd(*args):
+        return _cholesky(*args), None
+
+    def _bwd(*_args):
+        msg = "Partial Cholesky factorisations must not be differentiated through."
+        raise RuntimeError(msg)
+
+    _cholesky.defvjp(_fwd, _bwd)
+    return cholesky
+
+
 def _swap(arr, i, j):
     ai, aj = arr[i], arr[j]
     return arr.at[i].set(aj).at[j].set(ai)

@@ -83,3 +83,57 @@ def test_rank_validation():
         cholesky(lambda i, j: 1.0, 5)
     with pytest.raises(ValueError, match="positive"):
         precond.cholesky_partial(rank=0)(lambda i, j: 1.0, 5)
+
+
+def test_blocked_full_rank_reconstructs():
+    n = 16
+    A = _spd_matrix(n, decay=0.3)
+    cholesky = precond.cholesky_partial_pivot_blocked(rank=n, block=4)
+    L, info = cholesky(lambda i, j: A[i, j], n)
+    assert bool(info["success"])
+    assert jnp.allclose(L @ L.T, A, atol=1e-4, rtol=1e-4)
+
+
+def test_blocked_matches_sequential_quality():
+    """Block-greedy pivoting approximates as well as per-column greedy."""
+    n, rank = 48, 16
+    A = _spd_matrix(n, decay=0.25)
+    L_seq, _ = precond.cholesky_partial_pivot(rank=rank)(lambda i, j: A[i, j], n)
+    L_blk, info = precond.cholesky_partial_pivot_blocked(rank=rank, block=8)(
+        lambda i, j: A[i, j], n
+    )
+    assert bool(info["success"])
+    err_seq = jnp.linalg.norm(A - L_seq @ L_seq.T)
+    err_blk = jnp.linalg.norm(A - L_blk @ L_blk.T)
+    assert err_blk <= 3.0 * err_seq + 1e-6, (float(err_blk), float(err_seq))
+
+
+def test_blocked_preconditioner_solves():
+    n, rank = 32, 32
+    A = _spd_matrix(n, decay=0.3)
+    precondition = precond.preconditioner(
+        precond.cholesky_partial_pivot_blocked(rank=rank, block=8)
+    )
+    solve, info = precondition(lambda i, j: A[i, j], n)
+    b = jnp.arange(1.0, n + 1.0)
+    sigma = 0.1
+    x = solve(b, sigma)
+    assert jnp.allclose((A + sigma * jnp.eye(n)) @ x, b, atol=1e-2, rtol=1e-2)
+
+
+def test_blocked_forbids_gradients():
+    n = 8
+    A = _spd_matrix(n)
+    cholesky = precond.cholesky_partial_pivot_blocked(rank=4, block=4)
+
+    def loss(a):
+        L, _ = cholesky(lambda i, j: a[i, j], n)
+        return jnp.sum(L**2)
+
+    with pytest.raises(RuntimeError, match="must not be differentiated"):
+        jax.grad(loss)(A)
+
+
+def test_blocked_rejects_bad_block():
+    with pytest.raises(ValueError, match="multiple"):
+        precond.cholesky_partial_pivot_blocked(rank=10, block=4)
