@@ -55,6 +55,11 @@ if __name__ == "__main__":
     parser.add_argument("--data_sizes", type=int, nargs="+",
                         default=[4096, 16384, 65536])
     parser.add_argument("--data_dim", type=int, default=1)
+    parser.add_argument(
+        "--data_dims", type=int, nargs="*", default=[],
+        help="sweep input dimensions at fixed N=data_sizes[-1] "
+             "(reference benchmark_dim_toy.py analog)",
+    )
     parser.add_argument("--num_partitions", type=int, default=16)
     parser.add_argument(
         "--datasets", type=str, nargs="*", default=[],
@@ -64,25 +69,21 @@ if __name__ == "__main__":
     args = parser.parse_args()
     print(args)
 
-    kernel_factory, _ = gp.kernel_scaled_rbf(
-        shape_in=(args.data_dim,), shape_out=()
-    )
-    kernel = kernel_factory(
-        raw_lengthscale=jnp.zeros((args.data_dim,)), raw_outputscale=jnp.zeros(())
-    )
-
     from lanczos_adjoints_tpu.utils import uci as uci_module
 
-    cases = [("synthetic", n, None) for n in args.data_sizes]
+    cases = [("synthetic", n, args.data_dim, None) for n in args.data_sizes]
+    cases += [
+        (f"synthetic_d{d}", args.data_sizes[-1], d, None) for d in args.data_dims
+    ]
     for name in args.datasets:
         X, _y = getattr(uci_module, f"uci_{name}")(normalize=True)
-        cases.append((name, len(X), jnp.asarray(X, jnp.float32)))
+        cases.append((name, len(X), X.shape[1], jnp.asarray(X, jnp.float32)))
 
     results = []
-    for label, n, data in cases:
+    for label, n, dim, data in cases:
         key = jax.random.PRNGKey(0)
         if data is None:
-            x = jax.random.normal(key, (n, args.data_dim), dtype=jnp.float32)
+            x = jax.random.normal(key, (n, dim), dtype=jnp.float32)
         else:
             x = data
         v = jax.random.normal(key, (n,), dtype=jnp.float32)
@@ -92,16 +93,11 @@ if __name__ == "__main__":
             policies[f"partitioned({args.num_partitions})"] = (
                 gp.gram_matvec_partitioned(args.num_partitions, checkpoint=False)
             )
-        if data is not None:
-            kernel_case, _ = gp.kernel_scaled_rbf(
-                shape_in=(x.shape[1],), shape_out=()
-            )
-            kern = kernel_case(
-                raw_lengthscale=jnp.zeros((x.shape[1],)),
-                raw_outputscale=jnp.zeros(()),
-            )
-        else:
-            kern = kernel
+        kernel_case, _ = gp.kernel_scaled_rbf(shape_in=(x.shape[1],), shape_out=())
+        kern = kernel_case(
+            raw_lengthscale=jnp.zeros((x.shape[1],)),
+            raw_outputscale=jnp.zeros(()),
+        )
         # Fused Pallas streaming kernel (same GPyTorch parametrisation:
         # softplus of the zero raw parameters).
         from lanczos_adjoints_tpu.ops import pallas_gram
