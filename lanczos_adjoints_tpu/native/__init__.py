@@ -16,6 +16,9 @@ _here = os.path.dirname(os.path.abspath(__file__))
 _mtxparse = None
 _build_attempted = False
 
+# Set True to force the numpy fallback (benchmarking / debugging).
+DISABLE = False
+
 
 def _build_extension():
     """Compile mtxparse.cc into this directory with the system g++."""
@@ -45,6 +48,8 @@ def _build_extension():
 def get_mtxparse():
     """Return the compiled mtxparse module, or None if unavailable."""
     global _mtxparse, _build_attempted
+    if DISABLE:
+        return None
     if _mtxparse is not None:
         return _mtxparse
     if _build_attempted:

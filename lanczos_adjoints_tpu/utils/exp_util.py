@@ -57,7 +57,43 @@ def mtx_read(path: str, /):
     Handles general/symmetric coordinate real/integer/pattern files and
     transparent .gz / .tar.gz containers. Symmetric files are expanded to
     full storage. Indices are returned zero-based.
+
+    Fast path: ``scipy.io.mmread`` (fast_matrix_market, ~300 MB/s
+    measured -- experiments/benchmarks/mtx_parser); falls back to the
+    bundled C++ body parser (``native/mtxparse.cc``) and finally pure
+    numpy when scipy is absent.
     """
+    coo = _mmread_scipy(path)
+    if coo is not None:
+        rows = coo.row.astype(np.int64)
+        cols = coo.col.astype(np.int64)
+        vals = np.asarray(coo.data, dtype=np.float64)
+        return rows, cols, vals, coo.shape
+    return _mtx_read_builtin(path)
+
+
+def _mmread_scipy(path: str):
+    """scipy.io.mmread as a COO matrix, or None if unavailable."""
+    try:
+        from scipy.io import mmread
+        from scipy.sparse import coo_matrix
+    except ImportError:
+        return None
+    if path.endswith(".tar.gz"):
+        with tarfile.open(path, "r:gz") as tar:
+            members = [m for m in tar.getmembers() if m.name.endswith(".mtx")]
+            if not members:
+                msg = f"No .mtx member inside {path}"
+                raise FileNotFoundError(msg)
+            mat = mmread(tar.extractfile(members[0]))
+    else:
+        mat = mmread(path)
+    if not hasattr(mat, "tocoo"):  # dense array format
+        mat = coo_matrix(mat)
+    return mat.tocoo()
+
+
+def _mtx_read_builtin(path: str, /):
     if path.endswith(".tar.gz"):
         with tarfile.open(path, "r:gz") as tar:
             members = [m for m in tar.getmembers() if m.name.endswith(".mtx")]
