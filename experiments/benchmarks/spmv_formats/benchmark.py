@@ -61,8 +61,8 @@ if __name__ == "__main__":
     # ELL's element-gather transpose is the documented XLA:TPU pathology
     # (~1 GB/s); time it at a size where the VJP finishes in seconds.
     cases = [
-        ("laplacian_2d", laplacian_2d(args.grid), ["dia"]),
-        ("laplacian_2d_small", laplacian_2d(args.grid // 4), ["dia", "ell"]),
+        ("laplacian_2d", laplacian_2d(args.grid), ["dia", "dia_pallas"]),
+        ("laplacian_2d_small", laplacian_2d(args.grid // 4), ["dia", "dia_pallas", "ell"]),
         ("fem_3dof", fem, ["bsr", "bsr_pallas"]),
         ("fem_3dof_rcm", fem_rcm, ["bsr", "bsr_pallas"]),
         (
@@ -77,7 +77,22 @@ if __name__ == "__main__":
         v = jnp.ones((mat.shape[0],), jnp.float32)
         for fmt in formats:
             try:
-                if fmt == "bsr_pallas":
+                if fmt == "dia_pallas":
+                    from lanczos_adjoints_tpu.ops import pallas_dia
+
+                    dia = sparse.dia_pack(mat)
+                    values = sparse.dia_values(dia, mat.data)
+                    matvec = pallas_dia.dia_matvec_pallas(dia)
+                    itemsize = 4
+                    stored = int(np.prod(values.shape))
+                    info = sparse.OperatorInfo(
+                        format=fmt,
+                        stored_slots=stored,
+                        nnz=mat.nnz,
+                        bytes_per_matvec=stored * itemsize
+                        + 2 * mat.shape[0] * itemsize,
+                    )
+                elif fmt == "bsr_pallas":
                     bsr = sparse.bsr_pack(mat)
                     values = sparse.bsr_values(bsr, mat.data)
                     matvec = pallas_bsr.bsr_matvec_pallas(

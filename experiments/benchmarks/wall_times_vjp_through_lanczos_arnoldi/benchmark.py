@@ -47,7 +47,10 @@ def load_operator(which, path):
     return exp_util.suite_sparse_load(which, path=path)
 
 
-def slope_time(make_one, v0, values, *, reps=6, outer=3):
+def slope_time(make_one, v0, values, *, reps=6, outer=3, min_window=5e-3, max_reps=3072):
+    """R-slope with auto-escalating reps (fast depths need a window that
+    clears the relay jitter or the slope can come out negative)."""
+
     def repeated(v, vals, reps):
         def body(_i, carry):
             v, acc = carry
@@ -57,19 +60,28 @@ def slope_time(make_one, v0, values, *, reps=6, outer=3):
         _v, acc = jax.lax.fori_loop(0, reps, body, (v, 0.0))
         return acc
 
-    fn_many = jax.jit(functools.partial(repeated, reps=reps))
     fn_one = jax.jit(functools.partial(repeated, reps=1))
-    np.asarray(fn_many(v0, values))
     np.asarray(fn_one(v0, values))
-    t_many, t_one = [], []
-    for _ in range(outer):
-        t0 = time.perf_counter()
+
+    def measure(reps):
+        fn_many = jax.jit(functools.partial(repeated, reps=reps))
         np.asarray(fn_many(v0, values))
-        t_many.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(fn_one(v0, values))
-        t_one.append(time.perf_counter() - t0)
-    return (float(np.median(t_many)) - float(np.median(t_one))) / (reps - 1)
+        t_many, t_one = [], []
+        for _ in range(outer):
+            t0 = time.perf_counter()
+            np.asarray(fn_many(v0, values))
+            t_many.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(fn_one(v0, values))
+            t_one.append(time.perf_counter() - t0)
+        window = float(np.median(t_many)) - float(np.median(t_one))
+        return window / (reps - 1), window
+
+    per_iter, window = measure(reps)
+    while window < min_window and reps < max_reps:
+        reps = min(max_reps, reps * 8)
+        per_iter, window = measure(reps)
+    return per_iter
 
 
 if __name__ == "__main__":

@@ -1,0 +1,170 @@
+"""Single-pass DIA (diagonal-format) SpMV as a Pallas TPU kernel.
+
+The XLA formulation (``ops.sparse.dia_matvec_fn``: one ``jnp.roll`` +
+FMA per diagonal) materialises a rolled copy of ``x`` per diagonal, so
+a 5-diagonal n=1M matvec moves ~3x the useful bytes (measured 127 GB/s
+effective with runtime values; the round-1 ~550-900 GB/s figures were
+flattered by XLA constant-folding closure-captured stencil values).
+This kernel makes one pass: ``x`` stays VMEM-resident (padded by the
+halo), the value diagonals stream through the pipeline, and each
+(chunk, diagonal) contribution is two static row-slices combined with a
+lane roll -- every byte of ``vals`` is read exactly once and ``x`` is
+read from VMEM.
+
+Semantics are exactly the XLA path's: circular ``jnp.roll``
+wraparound is reproduced by reading from a circularly-padded copy of
+``x`` (the halo is filled with the wrapped tail/head), so results and
+gradients match for *all* inputs, not just zero-padded DIA values.
+
+Gradients: ``jax.custom_vjp``.  The cotangent matvec is the same
+forward kernel evaluated with negated offsets and diagonal-rolled
+values (the exact transpose of the circular-roll forward); the value
+gradient ``dvals[k] = u * x[. + d_k]`` is a second tiny kernel sharing
+the shifted-slice helper.
+
+Role of reference ``exp_util.py:35-42`` (BCOO SpMV on GPU); no direct
+reference counterpart -- this is TPU-native scope (SURVEY.md §7).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_SUBLANES = 8
+
+
+def _halo_rows(halo: int) -> int:
+    rows = -(-halo // LANES)
+    return -(-rows // _SUBLANES) * _SUBLANES
+
+
+def _shifted_chunk(xpad_ref, base: int, shift: int, chunk: int):
+    """rows [base, base+chunk) of xpad flat-shifted by ``shift`` >= 0."""
+    q, r = divmod(shift, LANES)
+    a = xpad_ref[pl.ds(base + q, chunk), :]
+    if r == 0:
+        return a
+    b = xpad_ref[pl.ds(base + q + 1, chunk), :]
+    ar = pltpu.roll(a, LANES - r, axis=1)
+    br = pltpu.roll(b, LANES - r, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    return jnp.where(lane + r < LANES, ar, br)
+
+
+def _matvec_kernel(offsets, hp, chunk, xpad_ref, vals_ref, out_ref):
+    base = pl.program_id(0) * chunk
+    acc = jnp.zeros_like(out_ref)
+    for k, d in enumerate(offsets):
+        acc = acc + vals_ref[k] * _shifted_chunk(xpad_ref, base, hp + d, chunk)
+    out_ref[...] = acc
+
+
+def _dvals_kernel(offsets, hp, chunk, xpad_ref, u_ref, dvals_ref):
+    base = pl.program_id(0) * chunk
+    u = u_ref[...]
+    for k, d in enumerate(offsets):
+        dvals_ref[k] = u * _shifted_chunk(xpad_ref, base, hp + d, chunk)
+
+
+def _pick_chunk(rows: int, target: int = 1024) -> int:
+    best = _SUBLANES
+    for c in range(_SUBLANES, min(rows, target) + 1, _SUBLANES):
+        if rows % c == 0:
+            best = c
+    return best
+
+
+def dia_matvec_pallas(dia, *, interpret: bool = False):
+    """Differentiable single-pass matvec ``matvec(v, vals) -> A @ v``.
+
+    ``vals`` is the packed ``(num_diags, n)`` array from
+    ``ops.sparse.dia_values``.  Requires ``n % 1024 == 0``.
+    """
+    offsets = tuple(int(d) for d in dia.offsets)
+    n = dia.shape[0]
+    if n % (LANES * _SUBLANES) != 0:
+        msg = f"n={n} must be a multiple of {LANES * _SUBLANES}"
+        raise ValueError(msg)
+    rows = n // LANES
+    halo = max(1, max(abs(d) for d in offsets))
+    hr = _halo_rows(halo)
+    hp = hr * LANES
+    if rows < hr:
+        msg = f"halo rows {hr} exceed vector rows {rows}"
+        raise ValueError(msg)
+    chunk = _pick_chunk(rows)
+    num_diags = len(offsets)
+
+    neg_offsets = tuple(-d for d in offsets)
+
+    def _pad_circular(v):
+        return jnp.concatenate([v[-hp:], v, v[:hp]]).reshape(
+            rows + 2 * hr, LANES
+        )
+
+    def _run_matvec(signed_offsets, v, vals):
+        kernel = functools.partial(_matvec_kernel, signed_offsets, hp, chunk)
+        xpad = _pad_circular(v)
+        out = pl.pallas_call(
+            kernel,
+            grid=(rows // chunk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (num_diags, chunk, LANES),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (chunk, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), v.dtype),
+            interpret=interpret,
+        )(xpad, vals.reshape(num_diags, rows, LANES))
+        return out.reshape(-1)
+
+    def _run_dvals(v, u):
+        kernel = functools.partial(_dvals_kernel, offsets, hp, chunk)
+        xpad = _pad_circular(v)
+        dvals = pl.pallas_call(
+            kernel,
+            grid=(rows // chunk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (chunk, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (num_diags, chunk, LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((num_diags, rows, LANES), v.dtype),
+            interpret=interpret,
+        )(xpad, u.reshape(rows, LANES))
+        return dvals.reshape(num_diags, n)
+
+    @jax.custom_vjp
+    def matvec(v, vals):
+        return _run_matvec(offsets, v, vals)
+
+    def matvec_fwd(v, vals):
+        return _run_matvec(offsets, v, vals), (v, vals)
+
+    def matvec_bwd(cache, u):
+        v, vals = cache
+        # Exact transpose of the circular-roll forward: A^T has offsets
+        # -d with values rolled along the diagonal.
+        vals_t = jnp.stack([jnp.roll(vals[k], d) for k, d in enumerate(offsets)])
+        dv = _run_matvec(neg_offsets, u, vals_t)
+        dvals = _run_dvals(v, u)
+        return dv, dvals
+
+    matvec.defvjp(matvec_fwd, matvec_bwd)
+    return matvec
