@@ -97,7 +97,60 @@ def hessenberg(
     if custom_vjp:
         estimate_backend = jax.custom_vjp(estimate_backend, nondiff_argnums=(0,))
         estimate_backend.defvjp(estimate_fwd, estimate_bwd)
+    dia = getattr(matvec, "dia_data", None)
+    if custom_vjp and dia is not None:
+        return _hessenberg_dispatch_dia(
+            estimate_public,
+            dia,
+            krylov_depth,
+            reortho=reortho,
+            reortho_vjp=reortho_vjp,
+        )
     return estimate_public
+
+
+# The fused Arnoldi kernel holds the whole basis in VMEM and fully
+# unrolls K (static per-step projection shapes), so the dispatch is
+# bounded both by VMEM and by a depth cap that keeps compiles fast.
+_FUSED_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+_FUSED_DEPTH_CAP = 48
+
+
+def _hessenberg_dispatch_dia(plain, dia, krylov_depth, *, reortho, reortho_vjp):
+    """Route DIA-tagged operators to ``ops.pallas_arnoldi`` when they fit.
+
+    The fused path runs the whole K-step recurrence (matvec + classical
+    Gram-Schmidt, optionally twice) as one Pallas kernel -- measured
+    2-5x over the XLA loop at K<=32 (RESULTS.md).  Gradient semantics
+    are identical: its backward pass is the same closed-form adjoint.
+    """
+
+    def estimate(vec, *params):
+        n = dia.shape[0]
+        vecs = krylov_depth + 2 * len(dia.offsets) + 8
+        fits = (
+            vecs * n * 4 <= _FUSED_VMEM_BUDGET_BYTES
+            and krylov_depth <= _FUSED_DEPTH_CAP
+        )
+        is_plain_call = (
+            len(params) == 1
+            and jnp.shape(params[0]) == (len(dia.offsets), n)
+            and jnp.shape(vec) == (n,)
+            and n % 128 == 0
+            and 0 < krylov_depth <= n
+            and jnp.result_type(vec) == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
+        if fits and is_plain_call:
+            from lanczos_adjoints_tpu.ops.pallas_arnoldi import hessenberg_dia_fused
+
+            fused = hessenberg_dia_fused(
+                dia, krylov_depth, reortho=reortho, reortho_vjp=reortho_vjp
+            )
+            return fused(vec, params[0])
+        return plain(vec, *params)
+
+    return estimate
 
 
 @highest_precision
