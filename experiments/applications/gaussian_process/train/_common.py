@@ -41,6 +41,25 @@ def build_argparser(parser):
     parser.add_argument("--dataset", type=str, required=True)
     parser.add_argument("--rank_precon", type=int, required=True)
     parser.add_argument(
+        "--slq",
+        type=str,
+        default="vmap",
+        choices=["vmap", "blocked"],
+        help="SLQ probe execution: 'vmap' = per-probe full-reortho "
+        "recurrences (reference semantics); 'blocked' = multi-RHS "
+        "reortho-none recurrences, one operator application per step "
+        "for all probes",
+    )
+    parser.add_argument(
+        "--matvec",
+        type=str,
+        default="auto",
+        choices=["auto", "fused"],
+        help="Gram matvec policy: 'auto' = vmapped/partitioned per "
+        "--num_partitions; 'fused' = the streaming Pallas kernel "
+        "(O(N) memory, fastest measured)",
+    )
+    parser.add_argument(
         "--precon_block",
         type=int,
         default=1,
@@ -106,6 +125,7 @@ def run(args, *, script_file, solver_mode: str):
         num_batches=1,
         checkpoint=True,
         matfun=log_clipped(),
+        blocked=args.slq == "blocked",
     )
     rank_precon = int(min(args.rank_precon, len(train_x)))
     if args.precon_block > 1:
@@ -120,7 +140,9 @@ def run(args, *, script_file, solver_mode: str):
         cholesky = precond.cholesky_partial_pivot(rank=rank_precon)
     precondition = precond.preconditioner(cholesky)
     logpdf_p = gp.logpdf_krylov_p(solve_p, logdet)
-    if args.num_partitions == 1:
+    if args.matvec == "fused":
+        gram_matvec = gp.gram_matvec_pallas()
+    elif args.num_partitions == 1:
         gram_matvec = gp.gram_matvec()
     else:
         gram_matvec = gp.gram_matvec_partitioned(args.num_partitions, checkpoint=True)

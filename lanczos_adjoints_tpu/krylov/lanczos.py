@@ -390,3 +390,167 @@ def _eigh_tridiag(diags, offdiags):
         jnp.diag(diags) + jnp.diag(offdiags, 1) + jnp.diag(offdiags, -1)
     )
     return jnp.linalg.eigh(dense)
+
+
+def tridiag_block(matvec, krylov_depth, /, *, custom_vjp=True, scan_unroll=8):
+    """``m`` independent Lanczos recurrences sharing operator applications.
+
+    ``matvec(V, *params)`` must apply the operator columnwise to an
+    ``(n, m)`` block -- the multi-RHS form under which the fused Gram
+    kernel evaluates each kernel tile once and contracts all ``m``
+    probes on the MXU, and under which a dense matmul batches
+    trivially.  Per column, results match ``tridiag(reortho="none")``;
+    the closed-form adjoint runs one blocked (transposed) operator
+    application per step, so the backward pass shares tiles too.
+
+    New TPU-native scope: the reference (and ``trace.hutchinson``'s
+    default) vmap single-probe recurrences, which re-evaluates the
+    operator per probe (lanczos.py:142-210 + gp_util.py:552-576 in the
+    reference).
+    """
+
+    def estimate_public(V, *params):
+        if not 0 < krylov_depth <= V.shape[0]:
+            msg = (
+                f"Parameter depth {krylov_depth} is outside the expected "
+                f"range (0, {V.shape[0]}]"
+            )
+            raise ValueError(msg)
+        # closure_convert lifts tracers captured by ``matvec`` (e.g. the
+        # GP covariance closure over kernel parameters) into explicit
+        # custom-vjp arguments -- same pattern as arnoldi.hessenberg.
+        matvec_converted, aux_args = jax.closure_convert(matvec, V, *params)
+        return estimate_backend(matvec_converted, V, *params, *aux_args)
+
+    def estimate_backend(matvec_converted, V, *params):
+        decomposition, remainder, _inv = _forward_block(
+            matvec_converted, krylov_depth, V, *params, unroll=scan_unroll
+        )
+        return decomposition, remainder
+
+    def estimate_fwd(matvec_converted, V, *params):
+        value = estimate_backend(matvec_converted, V, *params)
+        return value, (value, jnp.linalg.norm(V, axis=0), params)
+
+    def estimate_bwd(matvec_converted, cache, cotangents):
+        (dxs_head, (dalphas, dbetas_head)), (dx_res, dbeta_res) = cotangents
+        ((xs_head, (alphas, betas_head)), (x_res, beta_res)), norms, params = cache
+
+        xs = jnp.concatenate([xs_head, x_res[None]])
+        betas = jnp.concatenate([betas_head, beta_res[None]])
+        dxs = jnp.concatenate([dxs_head, dx_res[None]])
+        dbetas = jnp.concatenate([dbetas_head, dbeta_res[None]])
+
+        return _adjoint_block(
+            matvec_converted,
+            params,
+            vec_norms=norms,
+            xs=xs,
+            alphas=alphas,
+            betas=betas,
+            dxs=dxs,
+            dalphas=dalphas,
+            dbetas=dbetas,
+            unroll=scan_unroll,
+        )
+
+    if custom_vjp:
+        estimate_backend = jax.custom_vjp(estimate_backend, nondiff_argnums=(0,))
+        estimate_backend.defvjp(estimate_fwd, estimate_bwd)
+    return estimate_public
+
+
+@highest_precision
+def _forward_block(matvec, krylov_depth, V, *params, unroll=8):
+    norms = jnp.linalg.norm(V, axis=0)
+    x0 = V / norms
+
+    def step(carry, _):
+        x_prev, x, beta_prev = carry
+        ax = matvec(x, *params)
+        alpha = jnp.sum(x * ax, axis=0)
+        resid = ax - alpha * x - beta_prev * x_prev
+        beta = jnp.linalg.norm(resid, axis=0)
+        x_next = resid / beta
+        return (x, x_next, beta), (x_next, alpha, beta)
+
+    init = (jnp.zeros_like(x0), x0, jnp.zeros(x0.shape[1:], x0.dtype))
+    _, (xs_tail, alphas, betas) = jax.lax.scan(
+        step, init, xs=None, length=krylov_depth, unroll=unroll
+    )
+    xs = jnp.concatenate([x0[None], xs_tail])
+    decomposition = (xs[:-1], (alphas, betas[:-1]))
+    remainder = (xs[-1], betas[-1])
+    return decomposition, remainder, 1.0 / norms
+
+
+@highest_precision
+def _adjoint_block(
+    matvec, params, *, vec_norms, xs, alphas, betas, dxs, dalphas, dbetas, unroll=8
+):
+    """Per-column closed-form adjoint with blocked operator applications.
+
+    Identical recursions to ``_adjoint`` with a trailing probe axis on
+    every vector and per-column scalars; the parameter gradient sums
+    over probes through the blocked matvec's own VJP.
+    """
+
+    def step(carry, inputs):
+        xi, lam_next = carry
+        x, x_next, alpha, beta, dx, dalpha, dbeta = inputs
+
+        xi = xi / beta
+        mu = dbeta - jnp.sum(lam_next * x, axis=0) + jnp.sum(x_next * xi, axis=0)
+        nu = dalpha + jnp.sum(x * xi, axis=0)
+        lam = -xi + mu * x_next + nu * x
+
+        a_lam, vjp = jax.vjp(lambda *p: matvec(lam, *p), *params)
+        dparams_inc = vjp(x)
+
+        xi_prev = -dx - a_lam + alpha * lam + beta * lam_next - beta * nu * x_next
+        return (xi_prev, lam), dparams_inc
+
+    scan_inputs = (xs[:-1], xs[1:], alphas, betas, dxs[:-1], dalphas, dbetas)
+    init = (-dxs[-1], jnp.zeros_like(dxs[-1]))
+    (xi_final, _lam0), dparams_steps = jax.lax.scan(
+        step, init, xs=scan_inputs, reverse=True, unroll=unroll
+    )
+
+    dparams = jax.tree_util.tree_map(lambda s: jnp.sum(s, axis=0), dparams_steps)
+    dvec = (jnp.sum(xi_final * xs[0], axis=0) * xs[0] - xi_final) / vec_norms
+    return (dvec, *dparams)
+
+
+def integrand_spd_block(
+    matfun: Callable,
+    krylov_depth: int,
+    matvec: Callable,
+    /,
+    *,
+    use_adjoints_for_tridiag: bool = True,
+) -> Callable:
+    """Blocked SLQ integrand: ``(n, m)`` probes -> ``(m,)`` quadratic forms.
+
+    Multi-RHS sibling of ``integrand_spd`` (reortho="none" recurrences;
+    see ``tridiag_block``): every Lanczos step applies the operator to
+    the whole probe block at once.  The small per-probe tridiagonal
+    eigendecompositions are vmapped.
+    """
+
+    factorise = tridiag_block(
+        matvec, krylov_depth, custom_vjp=use_adjoints_for_tridiag
+    )
+
+    def quadform(V, *parameters):
+        scale = jnp.linalg.norm(V, axis=0)
+        Vn = V / scale
+        (_xs, (diags, offdiags)), _remainder = factorise(Vn, *parameters)
+
+        eigvals, eigvecs = jax.vmap(_eigh_tridiag, in_axes=(-1, -1))(
+            diags, offdiags
+        )  # (m, K), (m, K, K)
+        fx = jax.vmap(jax.vmap(matfun))(eigvals)
+        first = eigvecs[:, 0, :]
+        return scale**2 * jnp.sum(first * fx * first, axis=-1)
+
+    return quadform

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from lanczos_adjoints_tpu.ops.gram import (  # noqa: F401
     gram_matrix,
     gram_matvec,
+    gram_matvec_pallas,
     gram_matvec_partitioned,
     gram_matvec_sequential,
 )
@@ -150,6 +151,7 @@ def kernel_scaled_matern_32(*, shape_in, shape_out) -> tuple:
             dist = jnp.sqrt(sq + jnp.finfo(sq.dtype).eps)
             return outputscale * (1.0 + dist) * jnp.exp(-dist)
 
+        k.fused_spec = ("matern32", raw_lengthscale, raw_outputscale, constrain)
         return k
 
     params_like = {
@@ -173,6 +175,7 @@ def kernel_scaled_matern_12(*, shape_in, shape_out) -> tuple:
             dist = jnp.sqrt(sq + jnp.finfo(sq.dtype).eps)
             return outputscale * jnp.exp(-dist)
 
+        k.fused_spec = ("matern12", raw_lengthscale, raw_outputscale, constrain)
         return k
 
     params_like = {
@@ -195,6 +198,7 @@ def kernel_scaled_rbf(*, shape_in, shape_out) -> tuple:
             sq = _scaled_sq_distance(x, y, lengthscale)
             return outputscale * jnp.exp(-sq / 2)
 
+        k.fused_spec = ("rbf", raw_lengthscale, raw_outputscale, constrain)
         return k
 
     params_like = {
@@ -230,11 +234,20 @@ class _CovarianceOp:
         self._inputs = inputs
         self._noise = noise
 
-    def elem(self, i, j):
-        val = self._kernel(self._inputs[i], self._inputs[j])
-        if isinstance(self._noise, (int, float)) and self._noise == 0.0:
-            return val
-        return val + self._noise * (i == j)
+        def elem(i, j):
+            val = kernel(inputs[i], inputs[j])
+            if isinstance(noise, (int, float)) and noise == 0.0:
+                return val
+            return val + noise * (i == j)
+
+        # Propagate the fused-kernel tag (see ops.gram.gram_matvec_pallas)
+        # through the index-based lazy wrapper, together with the data it
+        # needs to resolve indices back to feature rows.
+        spec = getattr(kernel, "fused_spec", None)
+        if spec is not None:
+            elem.fused_spec = spec
+            elem.fused_data = (inputs, noise)
+        self.elem = elem
 
     def matvec(self, v):
         apply_gram = self._policy(self.elem)

@@ -13,6 +13,7 @@ from lanczos_adjoints_tpu.ops.dense import dense_operator  # noqa: F401
 from lanczos_adjoints_tpu.ops.gram import (  # noqa: F401
     gram_matrix,
     gram_matvec,
+    gram_matvec_pallas,
     gram_matvec_partitioned,
     gram_matvec_sequential,
 )

@@ -322,7 +322,7 @@ def _colT_spec(cb, leading):
 
 
 _COMPILER_PARAMS = pltpu.CompilerParams(
-    vmem_limit_bytes=64 * 1024 * 1024,
+    vmem_limit_bytes=100 * 1024 * 1024,
     dimension_semantics=("parallel", "arbitrary"),
 )
 

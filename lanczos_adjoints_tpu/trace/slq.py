@@ -37,16 +37,36 @@ def krylov_logdet_slq(
     num_batches: int,
     checkpoint: bool,
     matfun: Callable = jnp.log,
+    blocked: bool = False,
 ) -> Callable:
     """SLQ estimator of ``logdet(A)`` differentiable via Lanczos adjoints.
 
     ``matfun`` defaults to plain ``jnp.log`` (reference behaviour); pass
     ``log_clipped()`` for NaN-robust training on near-singular spectra.
+
+    ``blocked=True`` runs all probes' Lanczos recurrences together with
+    ONE multi-RHS operator application per step
+    (``krylov.lanczos.tridiag_block``): with the fused Gram matvec, each
+    kernel tile is evaluated once and contracted against every probe on
+    the MXU instead of once per probe.  Requires a matvec that accepts
+    ``(n, m)`` blocks (the gram policies do) and uses reortho="none"
+    recurrences (the default integrand re-orthogonalises).
     """
 
     def logdet(matvec: Callable, /, key):
-        integrand = lanczos.integrand_spd(matfun, krylov_depth, matvec)
-        estimate = _hutchinson(integrand, sample)
+        if blocked:
+            integrand_b = lanczos.integrand_spd_block(matfun, krylov_depth, matvec)
+
+            def estimate(k):
+                samples = sample(k)
+                flat = jax.vmap(
+                    lambda s: jax.flatten_util.ravel_pytree(s)[0]
+                )(samples)
+                return jnp.mean(integrand_b(flat.T))
+
+        else:
+            integrand = lanczos.integrand_spd(matfun, krylov_depth, matvec)
+            estimate = _hutchinson(integrand, sample)
 
         if num_batches == 1:
             value = estimate(key)

@@ -113,3 +113,38 @@ def test_fused_multivector_and_ard(kind, d):
     for a, b in zip(g_fused, g_ref):
         rel = jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-9)
         assert rel < 1e-3, rel
+
+
+@pytest.mark.parametrize("kind", ["rbf", "matern32"])
+def test_gp_policy_gram_matvec_pallas(kind):
+    """The gp-layer policy routes tagged kernels to the fused kernel."""
+    from lanczos_adjoints_tpu.models import gp
+    from lanczos_adjoints_tpu.ops import gram
+
+    factory = {
+        "rbf": gp.kernel_scaled_rbf,
+        "matern32": gp.kernel_scaled_matern_32,
+    }[kind]
+    kernel_factory, _ = factory(shape_in=(3,), shape_out=())
+    raw_ell = jnp.asarray([0.2, -0.1, 0.4])
+    raw_out = jnp.asarray(0.3)
+    k = kernel_factory(raw_lengthscale=raw_ell, raw_outputscale=raw_out)
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (64, 3), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(1), (64,), jnp.float32)
+
+    mv_ref = gram.gram_matvec()(k)
+    mv_fused = gram.gram_matvec_pallas()(k)
+    out_ref = mv_ref(x, x, v)
+    out_fused = mv_fused(x, x, v)
+    assert jnp.allclose(out_fused, out_ref, rtol=_TOL[kind], atol=1e-4), float(
+        jnp.max(jnp.abs(out_fused - out_ref))
+    )
+
+
+def test_gp_policy_rejects_untagged_kernel():
+    from lanczos_adjoints_tpu.ops import gram
+
+    with pytest.raises(ValueError, match="not tagged"):
+        gram.gram_matvec_pallas()(lambda x, y: jnp.sum(x * y))
