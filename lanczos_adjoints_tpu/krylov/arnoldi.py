@@ -58,7 +58,10 @@ def hessenberg(
         raise TypeError(msg)
     reortho_adjoint = reortho if reortho_vjp == "match" else reortho_vjp
 
+    @highest_precision
     def estimate_public(v, *params):
+        # Precision resolves at trace time; closure_convert traces the
+        # matvec here, so the wrapper must cover it.
         matvec_converted, aux_args = jax.closure_convert(matvec, v, *params)
         return estimate_backend(matvec_converted, v, *params, *aux_args)
 

@@ -320,7 +320,11 @@ def integrand_spd_custom_vjp_reuse(
     zeros.
     """
 
+    @highest_precision
     def quadform_public(v0, *parameters):
+        # Traced under highest precision: matmul precision resolves at
+        # TRACE time, and closure_convert traces the matvec here -- an
+        # unwrapped conversion would bake bf16 dots into the jaxpr.
         av, aux_args = jax.closure_convert(matvec, v0, *parameters)
 
         v0_flat, unflatten = jax.flatten_util.ravel_pytree(v0)
@@ -392,7 +396,9 @@ def _eigh_tridiag(diags, offdiags):
     return jnp.linalg.eigh(dense)
 
 
-def tridiag_block(matvec, krylov_depth, /, *, custom_vjp=True, scan_unroll=8):
+def tridiag_block(
+    matvec, krylov_depth, /, *, reortho="none", custom_vjp=True, scan_unroll=8
+):
     """``m`` independent Lanczos recurrences sharing operator applications.
 
     ``matvec(V, *params)`` must apply the operator columnwise to an
@@ -400,15 +406,25 @@ def tridiag_block(matvec, krylov_depth, /, *, custom_vjp=True, scan_unroll=8):
     kernel evaluates each kernel tile once and contracts all ``m``
     probes on the MXU, and under which a dense matmul batches
     trivially.  Per column, results match ``tridiag(reortho="none")``;
-    the closed-form adjoint runs one blocked (transposed) operator
-    application per step, so the backward pass shares tiles too.
+    ``reortho="full"`` re-orthogonalises each residual against the
+    probe's own growing basis (masked block projections -- O(K^2 n m)
+    extra FLOPs, which removes the Ritz-duplication bias SLQ sees on
+    ill-conditioned spectra).  The closed-form adjoint runs one blocked
+    (transposed) operator application per step, so the backward pass
+    shares tiles too; with ``reortho="full"`` it is applied to the
+    re-orthogonalised iterates (un-re-projected adjoint -- accurate at
+    the shallow depths SLQ uses; tested against backprop).
 
     New TPU-native scope: the reference (and ``trace.hutchinson``'s
     default) vmap single-probe recurrences, which re-evaluates the
     operator per probe (lanczos.py:142-210 + gp_util.py:552-576 in the
     reference).
     """
+    if reortho not in ("none", "full"):
+        msg = f"reortho={reortho!r} unsupported; choose one of 'full', 'none'."
+        raise ValueError(msg)
 
+    @highest_precision
     def estimate_public(V, *params):
         if not 0 < krylov_depth <= V.shape[0]:
             msg = (
@@ -424,7 +440,12 @@ def tridiag_block(matvec, krylov_depth, /, *, custom_vjp=True, scan_unroll=8):
 
     def estimate_backend(matvec_converted, V, *params):
         decomposition, remainder, _inv = _forward_block(
-            matvec_converted, krylov_depth, V, *params, unroll=scan_unroll
+            matvec_converted,
+            krylov_depth,
+            V,
+            *params,
+            reortho=reortho,
+            unroll=scan_unroll,
         )
         return decomposition, remainder
 
@@ -461,23 +482,59 @@ def tridiag_block(matvec, krylov_depth, /, *, custom_vjp=True, scan_unroll=8):
 
 
 @highest_precision
-def _forward_block(matvec, krylov_depth, V, *params, unroll=8):
+def _forward_block(matvec, krylov_depth, V, *params, reortho="none", unroll=8):
     norms = jnp.linalg.norm(V, axis=0)
     x0 = V / norms
+    k = krylov_depth
 
-    def step(carry, _):
-        x_prev, x, beta_prev = carry
-        ax = matvec(x, *params)
-        alpha = jnp.sum(x * ax, axis=0)
-        resid = ax - alpha * x - beta_prev * x_prev
-        beta = jnp.linalg.norm(resid, axis=0)
-        x_next = resid / beta
-        return (x, x_next, beta), (x_next, alpha, beta)
+    if reortho == "none":
 
-    init = (jnp.zeros_like(x0), x0, jnp.zeros(x0.shape[1:], x0.dtype))
-    _, (xs_tail, alphas, betas) = jax.lax.scan(
-        step, init, xs=None, length=krylov_depth, unroll=unroll
-    )
+        def step(carry, _):
+            x_prev, x, beta_prev = carry
+            ax = matvec(x, *params)
+            alpha = jnp.sum(x * ax, axis=0)
+            resid = ax - alpha * x - beta_prev * x_prev
+            beta = jnp.linalg.norm(resid, axis=0)
+            x_next = resid / beta
+            return (x, x_next, beta), (x_next, alpha, beta)
+
+        init = (jnp.zeros_like(x0), x0, jnp.zeros(x0.shape[1:], x0.dtype))
+        _, (xs_tail, alphas, betas) = jax.lax.scan(
+            step, init, xs=None, length=k, unroll=unroll
+        )
+    else:
+        # Full re-orthogonalisation: project the residual off every
+        # stored basis vector of the same probe (masked so unwritten
+        # rows contribute nothing), applied twice for f32 robustness.
+        basis0 = jnp.zeros((k + 1, *x0.shape), x0.dtype)
+        basis0 = jax.lax.dynamic_update_slice(
+            basis0, x0[None], (0,) + (0,) * x0.ndim
+        )
+
+        def orthogonalise(basis, resid, i):
+            mask = (jnp.arange(k + 1) <= i)[:, None]
+            proj = jnp.einsum("knm,nm->km", basis, resid) * mask
+            return resid - jnp.einsum("km,knm->nm", proj, basis)
+
+        def step(carry, i):
+            basis, x_prev, x, beta_prev = carry
+            ax = matvec(x, *params)
+            alpha = jnp.sum(x * ax, axis=0)
+            resid = ax - alpha * x - beta_prev * x_prev
+            resid = orthogonalise(basis, resid, i)
+            resid = orthogonalise(basis, resid, i)
+            beta = jnp.linalg.norm(resid, axis=0)
+            x_next = resid / beta
+            basis = jax.lax.dynamic_update_slice(
+                basis, x_next[None], (i + 1,) + (0,) * x_next.ndim
+            )
+            return (basis, x, x_next, beta), (x_next, alpha, beta)
+
+        init = (basis0, jnp.zeros_like(x0), x0, jnp.zeros(x0.shape[1:], x0.dtype))
+        _, (xs_tail, alphas, betas) = jax.lax.scan(
+            step, init, xs=jnp.arange(k), unroll=1
+        )
+
     xs = jnp.concatenate([x0[None], xs_tail])
     decomposition = (xs[:-1], (alphas, betas[:-1]))
     remainder = (xs[-1], betas[-1])
@@ -527,18 +584,19 @@ def integrand_spd_block(
     matvec: Callable,
     /,
     *,
+    reortho: str = "full",
     use_adjoints_for_tridiag: bool = True,
 ) -> Callable:
     """Blocked SLQ integrand: ``(n, m)`` probes -> ``(m,)`` quadratic forms.
 
-    Multi-RHS sibling of ``integrand_spd`` (reortho="none" recurrences;
-    see ``tridiag_block``): every Lanczos step applies the operator to
-    the whole probe block at once.  The small per-probe tridiagonal
-    eigendecompositions are vmapped.
+    Multi-RHS sibling of ``integrand_spd`` (default reortho="full",
+    matching ``integrand_spd``; see ``tridiag_block``): every Lanczos
+    step applies the operator to the whole probe block at once.  The
+    small per-probe tridiagonal eigendecompositions are vmapped.
     """
 
     factorise = tridiag_block(
-        matvec, krylov_depth, custom_vjp=use_adjoints_for_tridiag
+        matvec, krylov_depth, reortho=reortho, custom_vjp=use_adjoints_for_tridiag
     )
 
     def quadform(V, *parameters):

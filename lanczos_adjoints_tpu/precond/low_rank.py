@@ -63,7 +63,10 @@ def cholesky_partial(*, rank: int) -> Callable:
 
     def cholesky(lazy_kernel: Callable, n: int, /):
         _check_rank(rank, n)
-        element, aux_args = jax.closure_convert(lazy_kernel, 0, 0)
+        with jax.default_matmul_precision("highest"):
+            # precision resolves at trace time; the lazy kernel is
+            # traced here by closure_convert
+            element, aux_args = jax.closure_convert(lazy_kernel, 0, 0)
         return _cholesky(element, n, *aux_args)
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=[0, 1])
@@ -109,7 +112,10 @@ def cholesky_partial_pivot(*, rank: int) -> Callable:
 
     def cholesky(lazy_kernel: Callable, n: int, /):
         _check_rank(rank, n)
-        element, aux_args = jax.closure_convert(lazy_kernel, 0, 0)
+        with jax.default_matmul_precision("highest"):
+            # precision resolves at trace time; the lazy kernel is
+            # traced here by closure_convert
+            element, aux_args = jax.closure_convert(lazy_kernel, 0, 0)
         return _cholesky(element, n, *aux_args)
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=[0, 1])
@@ -205,7 +211,10 @@ def cholesky_partial_pivot_blocked(*, rank: int, block: int = 64) -> Callable:
         if block > n:
             msg = f"block={block} exceeds n={n}"
             raise ValueError(msg)
-        element, aux_args = jax.closure_convert(lazy_kernel, 0, 0)
+        with jax.default_matmul_precision("highest"):
+            # precision resolves at trace time; the lazy kernel is
+            # traced here by closure_convert
+            element, aux_args = jax.closure_convert(lazy_kernel, 0, 0)
         return _cholesky(element, n, *aux_args)
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=[0, 1])

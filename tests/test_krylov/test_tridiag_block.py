@@ -85,12 +85,40 @@ def test_block_adjoint_matches_autodiff():
         assert jnp.allclose(a, b, atol=1e-5), float(jnp.max(jnp.abs(a - b)))
 
 
+def test_block_reortho_full_matches_vmapped_full():
+    """Re-orthogonalised blocked recurrences match tridiag(reortho='full')
+    on an ill-conditioned spectrum where plain Lanczos loses orthogonality."""
+    n, m, depth = 48, 3, 20
+    eigvals = jnp.concatenate(
+        [jnp.logspace(-4, 0, n - 4), jnp.asarray([2.0, 4.0, 8.0, 16.0])]
+    )
+    A = test_util.symmetric_matrix_from_eigenvalues(eigvals)
+    V = jax.random.normal(jax.random.PRNGKey(4), (n, m))
+
+    blocked = lanczos.tridiag_block(_matvec, depth, reortho="full")
+    single = lanczos.tridiag(_matvec, depth, reortho="full", custom_vjp=True)
+
+    (_xs_b, (al_b, be_b)), _rem_b = blocked(V, A)
+
+    def run_one(v):
+        (_xs, (al, be)), _rem = single(v, A)
+        return al, be
+
+    al_s, be_s = jax.vmap(run_one, in_axes=1, out_axes=-1)(V)
+    assert jnp.allclose(al_b, al_s, atol=1e-3, rtol=1e-3), float(
+        jnp.max(jnp.abs(al_b - al_s))
+    )
+    assert jnp.allclose(be_b, be_s, atol=1e-3, rtol=1e-3), float(
+        jnp.max(jnp.abs(be_b - be_s))
+    )
+
+
 def test_blocked_integrand_matches_vmapped():
     n, m, depth = 32, 6, 10
     A = _spd(n)
     V = jax.random.normal(jax.random.PRNGKey(2), (n, m))
 
-    blocked = lanczos.integrand_spd_block(jnp.log, depth, _matvec)
+    blocked = lanczos.integrand_spd_block(jnp.log, depth, _matvec, reortho="none")
     single = lanczos.integrand_spd(jnp.log, depth, _matvec, reortho="none")
 
     vals_b = blocked(V, A)
