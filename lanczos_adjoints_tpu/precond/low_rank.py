@@ -235,9 +235,16 @@ def cholesky_partial_pivot_blocked(*, rank: int, block: int = 64) -> Callable:
 
             C = panel(piv) - L @ L[piv, :].T  # residual panel (n, block)
             S = C[piv, :]  # residual block (block, block)
-            U = jnp.linalg.cholesky(S)
-            success = jnp.logical_and(success, jnp.all(jnp.isfinite(U)))
-            W = jax.scipy.linalg.solve_triangular(U, C.T, lower=True).T
+            # Pseudo-inverse Schur update W W^T = C S^+ C^T: duplicate
+            # data points make S exactly singular (plain Cholesky would
+            # NaN -- observed on UCI protein), so factor through eigh
+            # and drop the deficient directions.
+            S = 0.5 * (S + S.T)
+            w, Q = jnp.linalg.eigh(S)
+            tol = block * jnp.finfo(w.dtype).eps * jnp.max(jnp.abs(w))
+            inv_sqrt = jnp.where(w > tol, 1.0 / jnp.sqrt(jnp.maximum(w, tol)), 0.0)
+            W = (C @ Q) * inv_sqrt
+            success = jnp.logical_and(success, jnp.min(w) > -tol)
 
             L = jax.lax.dynamic_update_slice(L, W, (0, s * block))
             residual_diag = residual_diag - jnp.sum(W * W, axis=1)

@@ -137,3 +137,18 @@ def test_blocked_forbids_gradients():
 def test_blocked_rejects_bad_block():
     with pytest.raises(ValueError, match="multiple"):
         precond.cholesky_partial_pivot_blocked(rank=10, block=4)
+
+
+def test_blocked_handles_duplicate_rows():
+    """Duplicate data points make the Schur block singular (UCI protein
+    has exact duplicates); the pseudo-inverse update must stay finite."""
+    n, rank = 32, 16
+    A = _spd_matrix(n, decay=0.3)
+    # Make rows/cols 3 and 7 identical (rank-deficient kernel matrix).
+    A = A.at[7, :].set(A[3, :]).at[:, 7].set(A[:, 3])
+    A = A.at[7, 7].set(A[3, 3])
+    cholesky = precond.cholesky_partial_pivot_blocked(rank=rank, block=8)
+    L, _info = cholesky(lambda i, j: A[i, j], n)
+    assert bool(jnp.isfinite(L).all())
+    err = jnp.linalg.norm(A - L @ L.T) / jnp.linalg.norm(A)
+    assert err < 0.2, float(err)
