@@ -55,7 +55,25 @@ def _shifted_chunk(xpad_ref, base: int, shift: int, chunk: int):
     return jnp.where(lane + r < LANES, ar, br)
 
 
-def _matvec_kernel(offsets, hp, chunk, xpad_ref, vals_ref, out_ref):
+def _fill_halo(x_ref, xpad_ref, hr):
+    """Circularly-padded copy of x into VMEM scratch, once per grid pass.
+
+    Building the padded copy in VMEM (instead of a JAX-level
+    ``jnp.concatenate``) saves one HBM round trip of the whole vector
+    -- a third of this kernel's traffic at n=1M.
+    """
+    rows = x_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        xpad_ref[hr : hr + rows] = x_ref[...]
+        xpad_ref[0:hr] = x_ref[rows - hr : rows]
+        xpad_ref[hr + rows :] = x_ref[0:hr]
+
+
+def _matvec_kernel(offsets, hr, chunk, x_ref, vals_ref, out_ref, xpad_ref):
+    _fill_halo(x_ref, xpad_ref, hr)
+    hp = hr * LANES
     base = pl.program_id(0) * chunk
     acc = jnp.zeros_like(out_ref)
     for k, d in enumerate(offsets):
@@ -63,7 +81,9 @@ def _matvec_kernel(offsets, hp, chunk, xpad_ref, vals_ref, out_ref):
     out_ref[...] = acc
 
 
-def _dvals_kernel(offsets, hp, chunk, xpad_ref, u_ref, dvals_ref):
+def _dvals_kernel(offsets, hr, chunk, x_ref, u_ref, dvals_ref, xpad_ref):
+    _fill_halo(x_ref, xpad_ref, hr)
+    hp = hr * LANES
     base = pl.program_id(0) * chunk
     u = u_ref[...]
     for k, d in enumerate(offsets):
@@ -101,14 +121,8 @@ def dia_matvec_pallas(dia, *, interpret: bool = False):
 
     neg_offsets = tuple(-d for d in offsets)
 
-    def _pad_circular(v):
-        return jnp.concatenate([v[-hp:], v, v[:hp]]).reshape(
-            rows + 2 * hr, LANES
-        )
-
     def _run_matvec(signed_offsets, v, vals):
-        kernel = functools.partial(_matvec_kernel, signed_offsets, hp, chunk)
-        xpad = _pad_circular(v)
+        kernel = functools.partial(_matvec_kernel, signed_offsets, hr, chunk)
         out = pl.pallas_call(
             kernel,
             grid=(rows // chunk,),
@@ -124,13 +138,16 @@ def dia_matvec_pallas(dia, *, interpret: bool = False):
                 (chunk, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((rows, LANES), v.dtype),
+            scratch_shapes=[pltpu.VMEM((rows + 2 * hr, LANES), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
             interpret=interpret,
-        )(xpad, vals.reshape(num_diags, rows, LANES))
+        )(v.reshape(rows, LANES), vals.reshape(num_diags, rows, LANES))
         return out.reshape(-1)
 
     def _run_dvals(v, u):
-        kernel = functools.partial(_dvals_kernel, offsets, hp, chunk)
-        xpad = _pad_circular(v)
+        kernel = functools.partial(_dvals_kernel, offsets, hr, chunk)
         dvals = pl.pallas_call(
             kernel,
             grid=(rows // chunk,),
@@ -146,8 +163,12 @@ def dia_matvec_pallas(dia, *, interpret: bool = False):
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((num_diags, rows, LANES), v.dtype),
+            scratch_shapes=[pltpu.VMEM((rows + 2 * hr, LANES), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
             interpret=interpret,
-        )(xpad, u.reshape(rows, LANES))
+        )(v.reshape(rows, LANES), u.reshape(rows, LANES))
         return dvals.reshape(num_diags, n)
 
     @jax.custom_vjp
