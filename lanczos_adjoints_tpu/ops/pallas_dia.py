@@ -112,7 +112,6 @@ def dia_matvec_pallas(dia, *, interpret: bool = False):
     rows = n // LANES
     halo = max(1, max(abs(d) for d in offsets))
     hr = _halo_rows(halo)
-    hp = hr * LANES
     if rows < hr:
         msg = f"halo rows {hr} exceed vector rows {rows}"
         raise ValueError(msg)
