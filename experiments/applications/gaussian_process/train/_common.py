@@ -45,10 +45,10 @@ def build_argparser(parser):
         type=str,
         default="vmap",
         choices=["vmap", "blocked"],
-        help="SLQ probe execution: 'vmap' = per-probe full-reortho "
-        "recurrences (reference semantics); 'blocked' = multi-RHS "
-        "reortho-none recurrences, one operator application per step "
-        "for all probes",
+        help="SLQ probe execution: 'vmap' = per-probe recurrences "
+        "(reference scheme); 'blocked' = multi-RHS recurrences, one "
+        "operator application per step for all probes (same "
+        "full-reortho semantics)",
     )
     parser.add_argument(
         "--matvec",
