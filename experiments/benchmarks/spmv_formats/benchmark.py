@@ -77,12 +77,19 @@ if __name__ == "__main__":
         v = jnp.ones((mat.shape[0],), jnp.float32)
         for fmt in formats:
             try:
-                if fmt == "dia_pallas":
-                    from lanczos_adjoints_tpu.ops import pallas_dia
-
+                if fmt in ("dia", "dia_pallas"):
+                    # Build both DIA paths explicitly: sparse_operator's
+                    # auto-dispatch would otherwise pick the Pallas kernel
+                    # for the 'dia' row too and the XLA-vs-Pallas
+                    # comparison would silently measure the same code.
                     dia = sparse.dia_pack(mat)
                     values = sparse.dia_values(dia, mat.data)
-                    matvec = pallas_dia.dia_matvec_pallas(dia)
+                    if fmt == "dia_pallas":
+                        from lanczos_adjoints_tpu.ops import pallas_dia
+
+                        matvec = pallas_dia.dia_matvec_pallas(dia)
+                    else:
+                        matvec = sparse.dia_matvec_fn(dia)
                     itemsize = 4
                     stored = int(np.prod(values.shape))
                     info = sparse.OperatorInfo(

@@ -81,6 +81,11 @@ def slope_time(make_one, v0, values, *, reps=6, outer=3, min_window=5e-3, max_re
     while window < min_window and reps < max_reps:
         reps = min(max_reps, reps * 8)
         per_iter, window = measure(reps)
+    if window < min_window:
+        print(
+            f"WARNING: window {window * 1e3:.2f} ms below {min_window * 1e3:.0f} ms"
+            f" at reps={reps}; slope unreliable"
+        )
     return per_iter
 
 

@@ -412,8 +412,11 @@ def tridiag_block(
     ill-conditioned spectra).  The closed-form adjoint runs one blocked
     (transposed) operator application per step, so the backward pass
     shares tiles too; with ``reortho="full"`` it is applied to the
-    re-orthogonalised iterates (un-re-projected adjoint -- accurate at
-    the shallow depths SLQ uses; tested against backprop).
+    re-orthogonalised iterates (un-re-projected adjoint): on
+    noise-shifted spectra -- the SLQ training regime -- it matches
+    backprop to ~1e-6 relative, but on severely ill-conditioned spectra
+    it inherits the loss-of-orthogonality gradient error (tested both
+    ways; use the vmapped per-probe path for the latter).
 
     New TPU-native scope: the reference (and ``trace.hutchinson``'s
     default) vmap single-probe recurrences, which re-evaluates the

@@ -230,9 +230,8 @@ class _CovarianceOp:
 
     def __init__(self, matvec, kernel, inputs, *, noise=0.0):
         self._policy = matvec
-        self._kernel = kernel
+        self._kernel = kernel  # used by cross_matvec
         self._inputs = inputs
-        self._noise = noise
 
         def elem(i, j):
             val = kernel(inputs[i], inputs[j])

@@ -123,7 +123,9 @@ def gram_matvec_partitioned(num: int, *, checkpoint: bool):
 
             blocks = jnp.reshape(i, (num, ndata // num, *feature_shape))
             mapped = jax.lax.map(block, blocks)
-            return jnp.reshape(mapped, (-1,))
+            # Preserve trailing RHS axes: v may be an (N, m) probe block
+            # (blocked SLQ); mapped is (num, ndata // num, *rhs).
+            return jnp.reshape(mapped, (ndata, *jnp.shape(mapped)[2:]))
 
         return matvec_map
 
@@ -142,7 +144,8 @@ def gram_matvec_sequential(*, checkpoint: bool):
                 row = jax.checkpoint(row)
 
             mapped = jax.lax.map(row, i)
-            return jnp.reshape(mapped, (-1,))
+            # mapped is (N, 1, *rhs): one row block per data point.
+            return jnp.reshape(mapped, (jnp.shape(i)[0], *jnp.shape(mapped)[2:]))
 
         return highest_precision(matvec_map)
 

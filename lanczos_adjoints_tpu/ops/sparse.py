@@ -422,6 +422,10 @@ class OperatorInfo(NamedTuple):
         return self.nnz / max(1, self.stored_slots)
 
 
+# x + its padded copy must fit VMEM alongside the streamed value chunks.
+_DIA_PALLAS_VMEM_BUDGET_BYTES = 48 * 1024 * 1024
+
+
 def sparse_operator(
     mat: CSRMatrix,
     *,
@@ -451,11 +455,14 @@ def sparse_operator(
         matvec = dia_matvec_fn(dia)
         # Single-pass Pallas kernel on TPU backends (the XLA roll-FMA
         # formulation materialises one rolled copy of x per diagonal;
-        # measured ~3x slower with runtime values at n=1M).
+        # measured ~3x slower with runtime values at n=1M).  The kernel
+        # keeps x plus a circularly-padded copy VMEM-resident, so guard
+        # by a VMEM budget and fall back to the XLA path beyond it.
         if (
             dtype == jnp.float32
             and mat.shape[0] % 1024 == 0
-            and jax.default_backend() not in ("cpu",)
+            and 2 * mat.shape[0] * 4 <= _DIA_PALLAS_VMEM_BUDGET_BYTES
+            and jax.default_backend() == "tpu"
         ):
             from lanczos_adjoints_tpu.ops import pallas_dia
 

@@ -49,8 +49,9 @@ def krylov_logdet_slq(
     (``krylov.lanczos.tridiag_block``): with the fused Gram matvec, each
     kernel tile is evaluated once and contracted against every probe on
     the MXU instead of once per probe.  Requires a matvec that accepts
-    ``(n, m)`` blocks (the gram policies do) and uses reortho="none"
-    recurrences (the default integrand re-orthogonalises).
+    ``(n, m)`` blocks (all gram policies do; DIA/BSR operators do not).
+    Recurrences re-orthogonalise per probe (blocked Gram-Schmidt),
+    matching ``integrand_spd``'s default semantics.
     """
 
     def logdet(matvec: Callable, /, key):

@@ -80,6 +80,14 @@ def slope_time(
     while window < min_window and reps < max_reps:
         reps = min(max_reps, reps * 8)
         per_iter, window = measure(reps)
+    if window < min_window:
+        import warnings
+
+        msg = (
+            f"measurement window {window * 1e3:.2f} ms stayed below "
+            f"{min_window * 1e3:.0f} ms at reps={reps}; slope unreliable"
+        )
+        warnings.warn(msg, stacklevel=2)
     return per_iter
 
 

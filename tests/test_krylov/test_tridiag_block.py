@@ -129,3 +129,46 @@ def test_blocked_integrand_matches_vmapped():
     gb = jax.grad(lambda a: jnp.mean(blocked(V, a)))(A)
     gs = jax.grad(lambda a: jnp.mean(jax.vmap(lambda v: single(v, a))(V.T)))(A)
     assert jnp.allclose(gb, gs, atol=1e-4, rtol=1e-4), float(jnp.max(jnp.abs(gb - gs)))
+
+
+@pytest.mark.parametrize(
+    ("spectrum", "rel_tol"),
+    [
+        ("noise_shifted", 1e-4),  # the SLQ training regime: near-exact
+        ("harsh", 5e-2),  # cond ~1.6e4 at depth 12: known degradation
+    ],
+)
+def test_block_reortho_full_adjoint_vs_autodiff(spectrum, rel_tol):
+    """The closed-form (un-re-projected) adjoint applied to the
+    re-orthogonalised blocked forward, pinned against backprop.
+
+    On noise-shifted spectra -- every GP-SLQ covariance -- it matches
+    autodiff to ~1e-6 relative.  On severely ill-conditioned spectra it
+    inherits the loss-of-orthogonality gradient error of adjoints
+    without re-projection (the paper's own study); use the vmapped
+    per-probe path (which runs Arnoldi's re-projected adjoint) there.
+    """
+    n, m, depth = 48, 3, 12
+    if spectrum == "noise_shifted":
+        eigvals = jnp.linspace(0.3, 17.0, n)
+    else:
+        eigvals = jnp.concatenate(
+            [jnp.logspace(-3, 0, n - 4), jnp.asarray([2.0, 4.0, 8.0, 16.0])]
+        )
+    A = test_util.symmetric_matrix_from_eigenvalues(eigvals)
+    V = jax.random.normal(jax.random.PRNGKey(5), (n, m))
+
+    def quadform(fn, vv, a):
+        (_xs, (al, be)), _rem = fn(vv, a)
+        return jnp.sum(al) + jnp.sum(be**2)
+
+    adj = lanczos.tridiag_block(_matvec, depth, reortho="full", custom_vjp=True)
+    ref = lanczos.tridiag_block(_matvec, depth, reortho="full", custom_vjp=False)
+
+    ga = jax.grad(lambda vv, a: quadform(adj, vv, a), argnums=(0, 1))(V, A)
+    gr = jax.grad(lambda vv, a: quadform(ref, vv, a), argnums=(0, 1))(V, A)
+    sym = lambda g: 0.5 * (g + g.T)  # noqa: E731
+    rel_v = jnp.max(jnp.abs(ga[0] - gr[0])) / jnp.max(jnp.abs(gr[0]))
+    rel_a = jnp.max(jnp.abs(sym(ga[1]) - sym(gr[1]))) / jnp.max(jnp.abs(sym(gr[1])))
+    assert rel_v < rel_tol, float(rel_v)
+    assert rel_a < rel_tol, float(rel_a)
