@@ -26,7 +26,6 @@ deployment sees.
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
 
-import functools
 import json
 import subprocess
 import sys
@@ -118,41 +117,24 @@ def main():
         flat, unflatten = jax.flatten_util.ravel_pytree(out)
         return vjp(unflatten(jnp.ones_like(flat)))
 
-    def repeated(v, vals, reps):
-        def body(_i, carry):
-            v, acc = carry
-            dv, dvals = one_vjp(v, vals)
-            # Data dependency between iterations prevents collapsing.
-            return v + 1e-12 * dv, acc + jnp.sum(dvals)
-
-        _v, acc = jax.lax.fori_loop(0, reps, body, (v, 0.0))
-        return acc
-
     # Correctness guard on the single-shot VJP before timing.
     dv, dvals = jax.jit(one_vjp)(v0, values)
     dv_host = np.asarray(dv)
     assert np.all(np.isfinite(dv_host)), "NaN/inf in dv"
     assert np.abs(dv_host).max() > 0, "dv identically zero"
 
-    fn_many = jax.jit(functools.partial(repeated, reps=REPS))
-    fn_one = jax.jit(functools.partial(repeated, reps=1))
-    np.asarray(fn_many(v0, values))  # compile
-    np.asarray(fn_one(v0, values))
+    from lanczos_adjoints_tpu.utils import timing
 
-    t_many, t_one = [], []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(fn_many(v0, values))
-        t_many.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(fn_one(v0, values))
-        t_one.append(time.perf_counter() - t0)
+    # slope_time auto-escalates reps until the measured window clears
+    # the relay jitter (a fixed REPS=32 left a sub-millisecond window
+    # and the slope varied 0.01-0.3 ms run-to-run).
+    def vjp_scalar(v, vals):
+        dv, dvals = one_vjp(v, vals)
+        return dv + 0.0 * jnp.sum(dvals)
 
-    t = (float(np.median(t_many)) - float(np.median(t_one))) / (REPS - 1)
+    t = timing.slope_time(vjp_scalar, v0, values, reps=REPS)
     print(
-        f"fwd+adjoint K={K} (fused Pallas): {t * 1e3:.3f} ms/iter on-device "
-        f"(reps={REPS}: {np.median(t_many) * 1e3:.1f} ms, reps=1: "
-        f"{np.median(t_one) * 1e3:.1f} ms incl. ~30 ms tunnel RTT)",
+        f"fwd+adjoint K={K} (fused Pallas): {t * 1e3:.3f} ms/iter on-device",
         file=sys.stderr,
     )
 
@@ -162,28 +144,11 @@ def main():
         flat, unflatten = jax.flatten_util.ravel_pytree(out)
         return vjp(unflatten(jnp.ones_like(flat)))
 
-    def repeated_xla(v, vals, reps):
-        def body(_i, carry):
-            v, acc = carry
-            dv, dvals = one_vjp_xla(v, vals)
-            return v + 1e-12 * dv, acc + jnp.sum(dvals)
+    def vjp_scalar_xla(v, vals):
+        dv, dvals = one_vjp_xla(v, vals)
+        return dv + 0.0 * jnp.sum(dvals)
 
-        _v, acc = jax.lax.fori_loop(0, reps, body, (v, 0.0))
-        return acc
-
-    fx_many = jax.jit(functools.partial(repeated_xla, reps=REPS))
-    fx_one = jax.jit(functools.partial(repeated_xla, reps=1))
-    np.asarray(fx_many(v0, values))
-    np.asarray(fx_one(v0, values))
-    tx_many, tx_one = [], []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(fx_many(v0, values))
-        tx_many.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(fx_one(v0, values))
-        tx_one.append(time.perf_counter() - t0)
-    t_xla = (float(np.median(tx_many)) - float(np.median(tx_one))) / (REPS - 1)
+    t_xla = timing.slope_time(vjp_scalar_xla, v0, values, reps=REPS)
     print(
         f"fwd+adjoint K={K} (generic XLA scan): {t_xla * 1e3:.3f} ms/iter",
         file=sys.stderr,
