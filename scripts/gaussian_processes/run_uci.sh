@@ -9,6 +9,13 @@ cd "$(dirname "$0")/../../experiments/applications/gaussian_process/train"
 NAME="${NAME:-adjoints75}"
 EPOCHS="${EPOCHS:-75}"
 SEEDS="${SEEDS:-1 2 3 4 5}"
+# FAST=1 selects the TPU-native fast configuration (blocked multi-RHS
+# SLQ + fused Pallas Gram matvec + block-greedy preconditioner):
+# 1.9-4.5x faster epochs at RMSE parity (RESULTS.md).
+EXTRA=""
+if [ "${FAST:-0}" = "1" ]; then
+  EXTRA="--slq blocked --matvec fused --precon_block 64"
+fi
 
 for seed in $SEEDS; do
   # Small datasets: full preconditioner, single partition.
@@ -17,7 +24,7 @@ for seed in $SEEDS; do
       --name "$NAME" --seed "$seed" --dataset "$ds" \
       --rank_precon 100 --num_partitions 1 \
       --num_matvecs 15 --num_samples 15 --num_epochs "$EPOCHS" \
-      --cg_tol 1.0
+      --cg_tol 1.0 $EXTRA
   done
 
   # Medium datasets: partitioned Gram matvec.
@@ -26,7 +33,7 @@ for seed in $SEEDS; do
       --name "$NAME" --seed "$seed" --dataset "$ds" \
       --rank_precon 500 --num_partitions 10 \
       --num_matvecs 15 --num_samples 15 --num_epochs "$EPOCHS" \
-      --cg_tol 1.0
+      --cg_tol 1.0 $EXTRA
   done
 
   # Large datasets.
@@ -35,7 +42,7 @@ for seed in $SEEDS; do
       --name "$NAME" --seed "$seed" --dataset "$ds" \
       --rank_precon 500 --num_partitions 50 \
       --num_matvecs 15 --num_samples 15 --num_epochs "$EPOCHS" \
-      --cg_tol 1.0
+      --cg_tol 1.0 $EXTRA
   done
 done
 
