@@ -438,10 +438,26 @@ def tridiag_block(
         # closure_convert lifts tracers captured by ``matvec`` (e.g. the
         # GP covariance closure over kernel parameters) into explicit
         # custom-vjp arguments -- same pattern as arnoldi.hessenberg.
+        # The converted callable is shape-specialised, so the adjoint's
+        # batched (n, K*m) parameter-gradient pass needs a second, wide
+        # conversion of the same closure (identical hoisted constants:
+        # tracing is deterministic -- asserted below).
         matvec_converted, aux_args = jax.closure_convert(matvec, V, *params)
-        return estimate_backend(matvec_converted, V, *params, *aux_args)
+        n, m = V.shape
+        wide = jnp.zeros((n, krylov_depth * m), V.dtype)
+        matvec_wide, aux_wide = jax.closure_convert(matvec, wide, *params)
+        same_consts = len(aux_args) == len(aux_wide) and all(
+            jnp.shape(a) == jnp.shape(b) and jnp.result_type(a) == jnp.result_type(b)
+            for a, b in zip(aux_args, aux_wide)
+        )
+        if not same_consts:  # pragma: no cover - deterministic tracing
+            matvec_wide = None
+        return estimate_backend(
+            (matvec_converted, matvec_wide), V, *params, *aux_args
+        )
 
-    def estimate_backend(matvec_converted, V, *params):
+    def estimate_backend(matvec_pair, V, *params):
+        matvec_converted, _ = matvec_pair
         decomposition, remainder, _inv = _forward_block(
             matvec_converted,
             krylov_depth,
@@ -452,11 +468,11 @@ def tridiag_block(
         )
         return decomposition, remainder
 
-    def estimate_fwd(matvec_converted, V, *params):
-        value = estimate_backend(matvec_converted, V, *params)
+    def estimate_fwd(matvec_pair, V, *params):
+        value = estimate_backend(matvec_pair, V, *params)
         return value, (value, jnp.linalg.norm(V, axis=0), params)
 
-    def estimate_bwd(matvec_converted, cache, cotangents):
+    def estimate_bwd(matvec_pair, cache, cotangents):
         (dxs_head, (dalphas, dbetas_head)), (dx_res, dbeta_res) = cotangents
         ((xs_head, (alphas, betas_head)), (x_res, beta_res)), norms, params = cache
 
@@ -466,7 +482,7 @@ def tridiag_block(
         dbetas = jnp.concatenate([dbetas_head, dbeta_res[None]])
 
         return _adjoint_block(
-            matvec_converted,
+            matvec_pair,
             params,
             vec_norms=norms,
             xs=xs,
@@ -546,14 +562,21 @@ def _forward_block(matvec, krylov_depth, V, *params, reortho="none", unroll=8):
 
 @highest_precision
 def _adjoint_block(
-    matvec, params, *, vec_norms, xs, alphas, betas, dxs, dalphas, dbetas, unroll=8
+    matvec_pair, params, *, vec_norms, xs, alphas, betas, dxs, dalphas, dbetas, unroll=8
 ):
     """Per-column closed-form adjoint with blocked operator applications.
 
     Identical recursions to ``_adjoint`` with a trailing probe axis on
-    every vector and per-column scalars; the parameter gradient sums
-    over probes through the blocked matvec's own VJP.
+    every vector and per-column scalars.  The parameter gradient is
+    deferred: the scan emits the adjoint vectors, and ONE multi-RHS
+    VJP at the end accumulates all K steps' increments --
+    ``sum_s <x_s, A lam_s> = <X, A(LAM)>`` for a columnwise operator --
+    so the operator's tiles/values are streamed once for the whole
+    parameter gradient instead of once per step.
     """
+    matvec, matvec_wide = (
+        matvec_pair if isinstance(matvec_pair, tuple) else (matvec_pair, None)
+    )
 
     def step(carry, inputs):
         xi, lam_next = carry
@@ -564,19 +587,35 @@ def _adjoint_block(
         nu = dalpha + jnp.sum(x * xi, axis=0)
         lam = -xi + mu * x_next + nu * x
 
-        a_lam, vjp = jax.vjp(lambda *p: matvec(lam, *p), *params)
-        dparams_inc = vjp(x)
+        a_lam = matvec(lam, *params)
 
         xi_prev = -dx - a_lam + alpha * lam + beta * lam_next - beta * nu * x_next
-        return (xi_prev, lam), dparams_inc
+        return (xi_prev, lam), lam
 
     scan_inputs = (xs[:-1], xs[1:], alphas, betas, dxs[:-1], dalphas, dbetas)
     init = (-dxs[-1], jnp.zeros_like(dxs[-1]))
-    (xi_final, _lam0), dparams_steps = jax.lax.scan(
+    (xi_final, _lam0), lams = jax.lax.scan(
         step, init, xs=scan_inputs, reverse=True, unroll=unroll
     )
 
-    dparams = jax.tree_util.tree_map(lambda s: jnp.sum(s, axis=0), dparams_steps)
+    k, n, m = lams.shape
+    if matvec_wide is not None:
+        lam_flat = jnp.moveaxis(lams, 0, -1).reshape(n, k * m)
+        x_flat = jnp.moveaxis(xs[:-1], 0, -1).reshape(n, k * m)
+        _a, vjp = jax.vjp(lambda *p: matvec_wide(lam_flat, *p), *params)
+        dparams = vjp(x_flat)
+    else:  # fallback: per-step passes (shape-specialised converted matvec)
+
+        def pg(pair):
+            lam_s, x_s = pair
+            _a, vjp = jax.vjp(lambda *p: matvec(lam_s, *p), *params)
+            return vjp(x_s)
+
+        dparams_steps = jax.lax.map(pg, (lams, xs[:-1]))
+        dparams = jax.tree_util.tree_map(
+            lambda s: jnp.sum(s, axis=0), dparams_steps
+        )
+
     dvec = (jnp.sum(xi_final * xs[0], axis=0) * xs[0] - xi_final) / vec_norms
     return (dvec, *dparams)
 
