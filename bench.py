@@ -110,7 +110,19 @@ def main():
     values = dia_values
     v0 = jnp.ones((mat.shape[0],), jnp.float32)
 
-    factorise_xla = krylov.tridiag(matvec, K, reortho="none", custom_vjp=True)
+    # allow_fused=False: without it, the DIA tag on this matvec routes
+    # krylov.tridiag right back to the fused kernel and the "generic"
+    # number silently re-measures the fused path (VERDICT r2 weak #1).
+    # The dispatch_log assertion below makes that regression loud.
+    dispatch_log = []
+    factorise_xla = krylov.tridiag(
+        matvec,
+        K,
+        reortho="none",
+        custom_vjp=True,
+        allow_fused=False,
+        dispatch_log=dispatch_log,
+    )
 
     def one_vjp(v, vals):
         out, vjp = jax.vjp(factorise, v, vals)
@@ -149,6 +161,9 @@ def main():
         return dv + 0.0 * jnp.sum(dvals)
 
     t_xla = timing.slope_time(vjp_scalar_xla, v0, values, reps=REPS)
+    assert "tridiag:xla_scan" in dispatch_log and (
+        "tridiag:pallas_dia_fused" not in dispatch_log
+    ), f"generic-path benchmark dispatched wrongly: {dispatch_log}"
     print(
         f"fwd+adjoint K={K} (generic XLA scan): {t_xla * 1e3:.3f} ms/iter",
         file=sys.stderr,
@@ -159,6 +174,8 @@ def main():
         "value": round(t * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_S / t, 2),
+        "fused_pallas_ms": round(t * 1e3, 3),
+        "generic_xla_scan_ms": round(t_xla * 1e3, 3),
     }
     print(json.dumps(result))
 

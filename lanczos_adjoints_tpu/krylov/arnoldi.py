@@ -39,12 +39,17 @@ def hessenberg(
     custom_vjp: bool = True,
     reortho_vjp: str = "match",
     loop_unroll: int = 4,
+    dispatch_log: list | None = None,
 ) -> Callable:
     """Construct an Arnoldi factorisation ``A Q = Q H + r e_k^T``.
 
     Returns ``estimate(v, *params) -> (Q, H, residual, 1/|v|)`` with
     ``Q`` of shape ``(n, krylov_depth)`` and ``H`` upper-Hessenberg of
     shape ``(krylov_depth, krylov_depth)``.
+
+    ``dispatch_log``: optional list receiving one trace-time entry per
+    compilation naming the path that ran (``"hessenberg:pallas_dia_fused"``
+    or ``"hessenberg:xla_loop"``) -- see ``lanczos.tridiag``.
     """
     options = ("none", "full")
     if reortho not in options:
@@ -108,8 +113,16 @@ def hessenberg(
             krylov_depth,
             reortho=reortho,
             reortho_vjp=reortho_vjp,
+            dispatch_log=dispatch_log,
         )
-    return estimate_public
+    if dispatch_log is None:
+        return estimate_public
+
+    def logged(v, *params):
+        dispatch_log.append("hessenberg:xla_loop")
+        return estimate_public(v, *params)
+
+    return logged
 
 
 # The fused Arnoldi kernel holds the whole basis in VMEM and fully
@@ -119,7 +132,9 @@ _FUSED_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 _FUSED_DEPTH_CAP = 48
 
 
-def _hessenberg_dispatch_dia(plain, dia, krylov_depth, *, reortho, reortho_vjp):
+def _hessenberg_dispatch_dia(
+    plain, dia, krylov_depth, *, reortho, reortho_vjp, dispatch_log=None
+):
     """Route DIA-tagged operators to ``ops.pallas_arnoldi`` when they fit.
 
     The fused path runs the whole K-step recurrence (matvec + classical
@@ -147,10 +162,14 @@ def _hessenberg_dispatch_dia(plain, dia, krylov_depth, *, reortho, reortho_vjp):
         if fits and is_plain_call:
             from lanczos_adjoints_tpu.ops.pallas_arnoldi import hessenberg_dia_fused
 
+            if dispatch_log is not None:
+                dispatch_log.append("hessenberg:pallas_dia_fused")
             fused = hessenberg_dia_fused(
                 dia, krylov_depth, reortho=reortho, reortho_vjp=reortho_vjp
             )
             return fused(vec, params[0])
+        if dispatch_log is not None:
+            dispatch_log.append("hessenberg:xla_loop")
         return plain(vec, *params)
 
     return estimate

@@ -25,7 +25,6 @@ where ``integrand_spd(order + 1)`` corresponds to polynomial order
 ``order`` (reference tests/test_lanczos/test_integrand_spd_value_and_grad.py:31).
 """
 
-import warnings
 from typing import Callable
 
 import jax
@@ -46,6 +45,7 @@ def tridiag(
     custom_vjp: bool = True,
     scan_unroll: int = 8,
     allow_fused: bool = True,
+    dispatch_log: list | None = None,
 ) -> Callable:
     """Construct a Lanczos tridiagonalisation ``A ~ X^T T X``.
 
@@ -74,19 +74,48 @@ def tridiag(
         dynamic-update-slice of the basis row) is a few microseconds;
         unrolling amortises it ~3x for small operators at a modest
         compile-time cost.  Set to 1 to disable.
+    dispatch_log:
+        Optional list; every *traced* call appends the name of the code
+        path that actually ran (``"tridiag:pallas_dia_fused"``,
+        ``"tridiag:xla_scan"``, ``"tridiag:arnoldi_full"``).  Dispatch
+        decisions are shape-static, so they resolve at trace time: one
+        entry per compilation, none on cache hits.  Benchmarks and tests
+        use this to assert which path they are measuring.
     """
     if reortho == "full":
-        return _tridiag_via_arnoldi(matvec, krylov_depth, custom_vjp=custom_vjp)
+        est = _tridiag_via_arnoldi(
+            matvec, krylov_depth, custom_vjp=custom_vjp, dispatch_log=dispatch_log
+        )
+        return _with_dispatch_event(est, dispatch_log, "tridiag:arnoldi_full")
     if reortho == "none":
         plain = _tridiag_plain(
             matvec, krylov_depth, custom_vjp=custom_vjp, scan_unroll=scan_unroll
         )
         dia = getattr(matvec, "dia_data", None)
         if allow_fused and custom_vjp and dia is not None:
-            return _tridiag_dispatch_dia(plain, matvec, dia, krylov_depth)
-        return plain
+            return _tridiag_dispatch_dia(
+                plain, matvec, dia, krylov_depth, dispatch_log=dispatch_log
+            )
+        return _with_dispatch_event(plain, dispatch_log, "tridiag:xla_scan")
     msg = f"reortho={reortho!r} unsupported; choose one of 'full', 'none'."
     raise ValueError(msg)
+
+
+def _log_dispatch(dispatch_log, event):
+    """Record a trace-time dispatch decision (no-op when log is None)."""
+    if dispatch_log is not None:
+        dispatch_log.append(event)
+
+
+def _with_dispatch_event(estimate, dispatch_log, event):
+    if dispatch_log is None:
+        return estimate
+
+    def logged(vec, *params):
+        _log_dispatch(dispatch_log, event)
+        return estimate(vec, *params)
+
+    return logged
 
 
 # VMEM working set of the fused kernels.  The streaming variants keep
@@ -96,7 +125,7 @@ def tridiag(
 _FUSED_VMEM_BUDGET_BYTES = 100 * 1024 * 1024
 
 
-def _tridiag_dispatch_dia(plain, matvec, dia, krylov_depth):
+def _tridiag_dispatch_dia(plain, matvec, dia, krylov_depth, *, dispatch_log=None):
     """Route DIA-tagged operators to the fused Pallas kernel when it fits.
 
     The fused path (``ops.pallas_lanczos.tridiag_dia_fused``) runs the
@@ -123,20 +152,26 @@ def _tridiag_dispatch_dia(plain, matvec, dia, krylov_depth):
         if fits and is_plain_call:
             from lanczos_adjoints_tpu.ops.pallas_lanczos import tridiag_dia_fused
 
+            _log_dispatch(dispatch_log, "tridiag:pallas_dia_fused")
             fused = tridiag_dia_fused(dia, krylov_depth)
             return fused(vec, params[0])
+        _log_dispatch(dispatch_log, "tridiag:xla_scan")
         return plain(vec, *params)
 
     return estimate
 
 
-def _tridiag_via_arnoldi(matvec, krylov_depth, /, *, custom_vjp):
+def _tridiag_via_arnoldi(matvec, krylov_depth, /, *, custom_vjp, dispatch_log=None):
     # Full reorthogonalisation: run Arnoldi (which orthogonalises against
     # the whole basis) and read off the tridiagonal part. The adjoint then
     # inherits Arnoldi's re-projected backward substitution.
     # Reference behaviour: lanczos.py:152-169.
     hess = arnoldi.hessenberg(
-        matvec, krylov_depth, reortho="full", custom_vjp=custom_vjp
+        matvec,
+        krylov_depth,
+        reortho="full",
+        custom_vjp=custom_vjp,
+        dispatch_log=dispatch_log,
     )
 
     def estimate(vec, *params):
@@ -315,9 +350,13 @@ def integrand_spd_custom_vjp_reuse(
 
     One extra matvec-VJP in the backward pass (Dong et al., NeurIPS 2017
     style inexact gradients); no higher derivatives. Parity with reference
-    lanczos.py:64-139, including the documented limitation that the
-    gradient w.r.t. the probe vector is not implemented and returned as
-    zeros.
+    lanczos.py:64-139, and beyond it: the reference leaves the gradient
+    w.r.t. the probe vector unimplemented (zeros + warning,
+    lanczos.py:130-134), but it is available for free from the cached
+    decomposition -- ``d/dv0 [v0^T f(A) v0] = 2 f(A) v0``, and
+    ``f(A) v0 ~ |v0| * Q^T U (f(lambda) . U[0,:])`` reuses exactly the
+    eigendecomposition the forward pass computed -- so this
+    implementation returns it.
     """
 
     @highest_precision
@@ -354,12 +393,15 @@ def integrand_spd_custom_vjp_reuse(
         value = scale**2 * jnp.dot(first_components, fx * first_components)
 
         # Cache the direction pair (w1, w2) so that the backward pass is a
-        # single parameter-VJP of w1^T A w2.
+        # single parameter-VJP of w1^T A w2, and the Krylov-subspace
+        # estimate of f(A) v0 for the probe-vector gradient.
         dfx = jax.vmap(jax.jacfwd(matfun))(eigvals)
         sol = eigvecs @ (dfx * first_components)
+        f_of_a_v0 = scale * (basis.T @ (eigvecs @ (fx * first_components)))
         cache = {
             "w1": scale**2 * (basis.T @ sol),
             "w2": v0_flat,
+            "f_of_a_v0": f_of_a_v0,
             "parameters": parameters,
             "v0": v0,
         }
@@ -371,11 +413,12 @@ def integrand_spd_custom_vjp_reuse(
         _fx, vjp = jax.vjp(
             lambda *p: jnp.dot(matvec_flat(w2, *p), w1), *cache["parameters"]
         )
-        # Gradient w.r.t. the probe vector is intentionally not computed
-        # (parity with the reference's documented limitation, lanczos.py:130-134).
-        msg = "Gradient w.r.t. the probe vector is not implemented; returning zeros."
-        warnings.warn(msg, stacklevel=1)
-        dv0 = jax.tree_util.tree_map(jnp.zeros_like, cache["v0"])
+        # Probe-vector gradient from the cached decomposition (the
+        # reference returns zeros here -- lanczos.py:130-134):
+        # d/dv0 [v0^T f(A) v0] = 2 f(A) v0, estimated in the computed
+        # Krylov subspace at zero extra matvecs.
+        unflatten = jax.flatten_util.ravel_pytree(cache["v0"])[1]
+        dv0 = unflatten(cotangent * 2.0 * cache["f_of_a_v0"])
         return (dv0, *vjp(cotangent))
 
     quadform_backend = jax.custom_vjp(quadform_backend, nondiff_argnums=(0,))
@@ -411,12 +454,16 @@ def tridiag_block(
     extra FLOPs, which removes the Ritz-duplication bias SLQ sees on
     ill-conditioned spectra).  The closed-form adjoint runs one blocked
     (transposed) operator application per step, so the backward pass
-    shares tiles too; with ``reortho="full"`` it is applied to the
-    re-orthogonalised iterates (un-re-projected adjoint): on
-    noise-shifted spectra -- the SLQ training regime -- it matches
-    backprop to ~1e-6 relative, but on severely ill-conditioned spectra
-    it inherits the loss-of-orthogonality gradient error (tested both
-    ways; use the vmapped per-probe path for the latter).
+    shares tiles too.  With ``reortho="full"`` the adjoint is the
+    RE-PROJECTED backward substitution (the blocked port of
+    ``arnoldi._adjoint`` with ``reortho="full"``, reference
+    arnoldi.py:201-204, specialised to the symmetric tridiagonal case):
+    each backward step projects the adjoint vector onto the orthogonal
+    complement of the still-active basis rows and restores the
+    components prescribed by the tridiagonal cotangents, so the
+    gradient keeps the loss-of-orthogonality robustness of the
+    per-probe ``tridiag(reortho="full")`` path on ill-conditioned
+    spectra (tested on Hilbert-type spectra against backprop).
 
     New TPU-native scope: the reference (and ``trace.hutchinson``'s
     default) vmap single-probe recurrences, which re-evaluates the
@@ -481,7 +528,10 @@ def tridiag_block(
         dxs = jnp.concatenate([dxs_head, dx_res[None]])
         dbetas = jnp.concatenate([dbetas_head, dbeta_res[None]])
 
-        return _adjoint_block(
+        adjoint = (
+            _adjoint_block_reprojected if reortho == "full" else _adjoint_block
+        )
+        return adjoint(
             matvec_pair,
             params,
             vec_norms=norms,
@@ -617,6 +667,161 @@ def _adjoint_block(
         )
 
     dvec = (jnp.sum(xi_final * xs[0], axis=0) * xs[0] - xi_final) / vec_norms
+    return (dvec, *dparams)
+
+
+@highest_precision
+def _adjoint_block_reprojected(
+    matvec_pair, params, *, vec_norms, xs, alphas, betas, dxs, dalphas, dbetas, unroll=8
+):
+    """Re-projected blocked adjoint for ``tridiag_block(reortho="full")``.
+
+    Blocked port of ``arnoldi._adjoint`` with ``reortho="full"``
+    (reference arnoldi.py:104-220, re-projection at 201-204),
+    specialised to the symmetric case: the Hessenberg matrix is the
+    symmetric tridiagonal built from ``(alphas, betas)``, the cotangents
+    of the tridiagonal readout ``T = (H + H^T)/2`` pull back to
+    ``dH[s,s] = dalpha_s`` and ``dH[s,s+1] = dH[s+1,s] = dbeta_s / 2``,
+    and the residual cotangents pull back through the
+    ``(res/|res|, |res|)`` normalisation.  Every backward step projects
+    the adjoint vector onto the orthogonal complement of the
+    still-active basis rows and restores the masked ``dH``-prescribed
+    components -- this is the property the per-probe
+    ``tridiag(reortho="full")`` adjoint has and the plain blocked
+    recursion lacks on ill-conditioned spectra.
+
+    The parameter gradient stays deferred exactly as in
+    ``_adjoint_block``: the scan emits the adjoint vectors and ONE
+    multi-RHS VJP accumulates all steps (valid because the operator
+    family is symmetric: ``[d_p A(p) q]^T lam = [d_p A(p) lam]^T q``).
+    """
+    matvec, matvec_wide = (
+        matvec_pair if isinstance(matvec_pair, tuple) else (matvec_pair, None)
+    )
+    kp1, n, m = xs.shape
+    k = kp1 - 1
+
+    P = xs[:-1]  # (k, n, m) basis rows per probe
+    alphas_t = alphas  # (k, m)
+    betas_head = betas[:-1]  # (k-1, m)
+    beta_res = betas[-1]  # (m,)
+    x_hat = xs[-1]  # (n, m) normalised residual direction
+    res = x_hat * beta_res  # un-normalised residual, arnoldi convention
+
+    # Pull the remainder cotangents back through (res/|res|, |res|).
+    inner = jnp.sum(x_hat * dxs[-1], axis=0)
+    dres = (dxs[-1] - x_hat * inner) / beta_res + dbetas[-1] * x_hat
+    dXrows = dxs[:-1]  # (k, n, m) = dQ^T rows
+
+    # Symmetric tridiagonal H and its cotangent dH, per probe.
+    def _tridiag_mat(diag_km, off_km):
+        eye_k = jnp.eye(k, dtype=diag_km.dtype)
+        up = jnp.eye(k, k, 1, dtype=diag_km.dtype)
+        mat = jnp.einsum("ij,jm->ijm", eye_k, diag_km)
+        if k > 1:
+            off_full = jnp.concatenate(
+                [off_km, jnp.zeros((1, m), off_km.dtype)], axis=0
+            )
+            mat = mat + jnp.einsum("ij,im->ijm", up, off_full)
+            mat = mat + jnp.einsum("ij,jm->ijm", up.T, off_full)
+        return mat
+
+    H = _tridiag_mat(alphas_t, betas_head)
+    dH = _tridiag_mat(
+        dalphas, 0.5 * dbetas[:-1] if k > 1 else jnp.zeros((0, m), dalphas.dtype)
+    )
+
+    # Initial adjoint direction from the residual/H cotangents
+    # (arnoldi.py analog: eta = dH @ ek - Q^T dres; lam = dres + Q eta).
+    eta = dH[:, -1, :] - jnp.einsum("knm,nm->km", P, dres)
+    lam = dres + jnp.einsum("km,knm->nm", eta, P)
+
+    # Row-wise auxiliary matrices, one row per backward step.
+    Xi = dXrows + jnp.einsum("km,nm->knm", eta, res)  # (k, n, m)
+    Gamma = jnp.einsum("ijm,kjm->ikm", H, dH) - jnp.einsum(
+        "inm,jnm->ijm", dXrows, P
+    )  # (k, k, m); the -dinv_norm e1 e1^T term vanishes (inv_norm unused)
+
+    ones_kk = jnp.ones((k, k), dtype=alphas_t.dtype)
+    half_lower = jnp.tril(ones_kk) - 0.5 * jnp.diag(jnp.diag(jnp.tril(ones_kk)))
+    proj_mask = jnp.tril(ones_kk, 1)  # row idx: basis rows j <= idx+1 active
+    dHT = jnp.swapaxes(dH, 0, 1)  # rows = dH^T rows (symmetric, kept explicit)
+
+    beta_lower = jnp.concatenate(
+        [jnp.ones((1, m), alphas_t.dtype), betas_head], axis=0
+    )  # (k, m); divide step idx by beta_lower[idx]
+    beta_upper = jnp.concatenate(
+        [betas_head, jnp.zeros((1, m), alphas_t.dtype)], axis=0
+    )  # (k, m); step idx couples to Lambda row idx+1
+
+    scan_inputs = {
+        "idx": jnp.arange(k),
+        "alpha": alphas_t,
+        "beta_lower": beta_lower,
+        "beta_upper": beta_upper,
+        "half_lower_row": half_lower,
+        "proj_mask_row": proj_mask,
+        "Gamma_row": Gamma,
+        "Xi_row": Xi,
+        "proj_target_row": dHT,
+    }
+
+    def step(carry, inp):
+        lam, Lambda, Sigma = carry
+        idx = inp["idx"]
+        mask = inp["proj_mask_row"]  # (k,)
+
+        # Re-project the adjoint vector: orthogonal complement of the
+        # active basis rows + masked dH-prescribed components.
+        coeffs = jnp.einsum("knm,nm->km", P, lam) * mask[:, None]
+        target = inp["proj_target_row"] * mask[:, None]
+        lam = lam + jnp.einsum("km,knm->nm", target - coeffs, P)
+
+        a_lam = matvec(lam, *params)  # symmetric operator: A^T lam = A lam
+
+        # Symmetrised Gramian adjoint row.
+        gram = jnp.einsum("nm,knm->km", a_lam, P)
+        sigma_row = inp["half_lower_row"][:, None] * (inp["Gamma_row"] - gram)
+        Sigma = jax.lax.dynamic_update_slice(Sigma, sigma_row[None], (idx, 0, 0))
+
+        # Backward substitution for the next adjoint vector.
+        Lambda = jax.lax.dynamic_update_slice(Lambda, lam[None], (idx, 0, 0))
+        s_row = (
+            jax.lax.dynamic_slice_in_dim(Sigma, idx, 1, axis=0)[0]
+            + jax.lax.dynamic_slice_in_dim(Sigma, idx, 1, axis=1)[:, 0]
+        )  # (k, m) = (Sigma + Sigma^T)[idx]
+        xi = inp["Xi_row"] + jnp.einsum("km,knm->nm", s_row, P)
+        lam_up = jax.lax.dynamic_slice_in_dim(
+            Lambda, jnp.minimum(idx + 1, k - 1), 1, axis=0
+        )[0]
+        lam_next = xi - (inp["alpha"] * lam - a_lam) - inp["beta_upper"] * lam_up
+        lam_next = lam_next / inp["beta_lower"]
+        return (lam_next, Lambda, Sigma), lam
+
+    Lambda0 = jnp.zeros_like(P)
+    Sigma0 = jnp.zeros((k, k, m), alphas_t.dtype)
+    (lam_final, _Lambda, _Sigma), lams = jax.lax.scan(
+        step, (lam, Lambda0, Sigma0), xs=scan_inputs, reverse=True, unroll=1
+    )
+
+    if matvec_wide is not None:
+        lam_flat = jnp.moveaxis(lams, 0, -1).reshape(n, k * m)
+        x_flat = jnp.moveaxis(P, 0, -1).reshape(n, k * m)
+        _a, vjp = jax.vjp(lambda *p: matvec_wide(lam_flat, *p), *params)
+        dparams = vjp(x_flat)
+    else:  # fallback: per-step passes (shape-specialised converted matvec)
+
+        def pg(pair):
+            lam_s, x_s = pair
+            _a, vjp = jax.vjp(lambda *p: matvec(lam_s, *p), *params)
+            return vjp(x_s)
+
+        dparams_steps = jax.lax.map(pg, (lams, P))
+        dparams = jax.tree_util.tree_map(
+            lambda s: jnp.sum(s, axis=0), dparams_steps
+        )
+
+    dvec = lam_final / vec_norms
     return (dvec, *dparams)
 
 

@@ -8,6 +8,7 @@ Tolerances per reference tests/test_lanczos/test_tridiag_adjoint.py:50.
 """
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import pytest
 
@@ -115,7 +116,45 @@ def test_integrand_reuse_vjp_close_to_exact():
     )
 
     val_e, grad_e = jax.value_and_grad(exact, argnums=1)(v, A)
-    with pytest.warns(UserWarning, match="not implemented"):
-        val_r, grad_r = jax.value_and_grad(reuse, argnums=1)(v, A)
+    val_r, grad_r = jax.value_and_grad(reuse, argnums=1)(v, A)
     assert jnp.allclose(val_e, val_r, atol=1e-5)
     assert jnp.allclose(grad_e, grad_r, atol=1e-2, rtol=1e-1)
+
+
+def test_integrand_reuse_vjp_probe_vector_gradient():
+    """d/dv0 of the reuse-VJP integrand matches autodiff of the exact form.
+
+    The reference leaves this gradient unimplemented and returns zeros
+    (reference lanczos.py:130-134); here it comes from the cached
+    decomposition: d/dv0 [v0^T f(A) v0] = 2 f(A) v0.
+    """
+    n = 8
+    eigvals = jnp.linspace(1.0, 2.0, n)
+    A = test_util.symmetric_matrix_from_eigenvalues(eigvals)
+    v = jax.random.normal(jax.random.PRNGKey(5), (n,))
+
+    reuse = krylov.integrand_spd_custom_vjp_reuse(
+        jnp.log, n, lambda s, p: (p + p.T) @ s / 2
+    )
+
+    def exact(v0, p):
+        sym = (p + p.T) / 2
+        w, V = jnp.linalg.eigh(sym)
+        return (V.T @ v0) @ (jnp.log(w) * (V.T @ v0))
+
+    grad_r = jax.grad(reuse, argnums=0)(v, A)
+    grad_e = jax.grad(exact, argnums=0)(v, A)
+    assert jnp.abs(grad_r).max() > 0, "probe gradient must not be zeros"
+    assert jnp.allclose(grad_r, grad_e, atol=1e-4, rtol=1e-4)
+
+    # Pytree-valued probes flow through the same machinery.
+    v_tree = {"a": v[: n // 2], "b": v[n // 2 :]}
+
+    def matvec_tree(s, p):
+        flat, unflatten = jax.flatten_util.ravel_pytree(s)
+        return unflatten((p + p.T) @ flat / 2)
+
+    reuse_tree = krylov.integrand_spd_custom_vjp_reuse(jnp.log, n, matvec_tree)
+    grad_tree = jax.grad(reuse_tree, argnums=0)(v_tree, A)
+    flat_tree = jnp.concatenate([grad_tree["a"], grad_tree["b"]])
+    assert jnp.allclose(flat_tree, grad_e, atol=1e-4, rtol=1e-4)
