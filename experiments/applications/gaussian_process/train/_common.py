@@ -10,13 +10,14 @@ info-dict, results persisted as .npy series.
 
 import os
 import time
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from lanczos_adjoints_tpu import precond, solvers, trace
+from lanczos_adjoints_tpu import parallel, precond, solvers, trace
 from lanczos_adjoints_tpu.models import gp
 from lanczos_adjoints_tpu.utils import checkpoint as ckpt_util
 from lanczos_adjoints_tpu.utils import data as data_util
@@ -65,6 +66,15 @@ def build_argparser(parser):
         default=1,
         help="pivots per sweep for the blocked partial Cholesky (1=sequential)",
     )
+    parser.add_argument(
+        "--mesh",
+        type=str,
+        default="1",
+        help="device mesh 'R' or 'RxS': the Gram matvec is row-partitioned "
+        "R ways (shard_map over a rows axis; works with every --matvec "
+        "policy incl. 'fused') and the SLQ probe batch is sharded S ways "
+        "(per-probe mode only; blocked SLQ keeps probes on-device)",
+    )
     parser.add_argument("--num_partitions", type=int, required=True)
     parser.add_argument("--num_matvecs", type=int, required=True)
     parser.add_argument("--num_samples", type=int, required=True)
@@ -78,30 +88,51 @@ def build_argparser(parser):
     return parser
 
 
-def run(args, *, script_file, solver_mode: str):
-    """Train GP hyperparameters; ``solver_mode`` is 'adaptive' or 'fixed'."""
-    if getattr(args, "cpu", False):
-        jax.config.update("jax_platforms", "cpu")
-    noise_minval = 1e-4
-    key = jax.random.PRNGKey(args.seed)
-    key, subkey = jax.random.split(key)
+def parse_mesh(spec: str) -> tuple:
+    """'R' or 'RxS' -> (rows_way, probes_way)."""
+    if "x" in spec:
+        rows_way, probes_way = spec.split("x")
+        return int(rows_way), int(probes_way)
+    return int(spec), 1
 
-    inputs, targets = load_data(args.dataset)
-    inputs = jnp.asarray(inputs, jnp.float32)
-    targets = jnp.asarray(targets, jnp.float32)
 
-    if args.num_data > 0:
-        inputs, targets = inputs[: args.num_data], targets[: args.num_data]
+def build_mesh(rows_way: int, probes_way: int):
+    from jax.sharding import Mesh
 
-    # Subsample so the partition count divides the train split.
-    num_raw = len(inputs)
-    coeff = num_raw // (5 * args.num_partitions)
-    num_data = int(coeff * 5 * args.num_partitions)
-    train, test = data_util.split_train_test_shuffle(
-        subkey, inputs[:num_data], targets[:num_data], train_fraction=0.8
+    devices = np.asarray(jax.devices()[: rows_way * probes_way]).reshape(
+        rows_way, probes_way
     )
-    (train_x, train_y), (test_x, test_y) = train, test
-    print(f"dataset {args.dataset}: train {train_x.shape}, test {test_x.shape}")
+    return Mesh(devices, axis_names=("rows", "probes"))
+
+
+def assemble(args, *, n_train: int, ndim: int, solver_mode: str, unflatten=None):
+    """Build the full GP-training stack from parsed driver arguments.
+
+    Returns the jittable ``mll_lanczos`` / ``mll_eval`` / ``predict_mean``
+    closures plus the parameter template -- shared between ``run()`` and
+    the multi-chip dry run (``__graft_entry__.dryrun_multichip``), so the
+    dry run exercises exactly the driver's assembly, including the
+    ``--mesh`` sharded path.
+    """
+    noise_minval = 1e-4
+
+    # Device mesh: rows (operator/tensor parallelism) x probes (data
+    # parallelism over SLQ probes; per-probe mode only).
+    mesh = None
+    probe_sharding = None
+    rows_way, probes_way = parse_mesh(str(getattr(args, "mesh", "1")))
+    if rows_way * probes_way > 1:
+        if args.slq == "blocked" and probes_way > 1:
+            msg = (
+                "blocked SLQ amortises kernel tiles across probes within "
+                "each device; use --mesh R (rows only) with --slq blocked"
+            )
+            raise ValueError(msg)
+        mesh = build_mesh(rows_way, probes_way)
+        if probes_way > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            probe_sharding = NamedSharding(mesh, PartitionSpec("probes"))
 
     # Linear algebra assembly (call stack SURVEY.md 3.1).
     if solver_mode == "adaptive":
@@ -116,9 +147,7 @@ def run(args, *, script_file, solver_mode: str):
     # equal probe count on TPU (kernel evaluation dominates the matvec).
     from lanczos_adjoints_tpu.trace.slq import log_clipped
 
-    sample = trace.sampler_rademacher(
-        jnp.ones((len(train_x),)), num=args.num_samples
-    )
+    sample = trace.sampler_rademacher(jnp.ones((n_train,)), num=args.num_samples)
     logdet = gp.krylov_logdet_slq(
         args.num_matvecs,
         sample=sample,
@@ -126,8 +155,9 @@ def run(args, *, script_file, solver_mode: str):
         checkpoint=True,
         matfun=log_clipped(),
         blocked=args.slq == "blocked",
+        probe_sharding=probe_sharding,
     )
-    rank_precon = int(min(args.rank_precon, len(train_x)))
+    rank_precon = int(min(args.rank_precon, n_train))
     if args.precon_block > 1:
         # Round the rank down to a block multiple (blocked sweeps).
         rank_precon = max(
@@ -146,20 +176,21 @@ def run(args, *, script_file, solver_mode: str):
         gram_matvec = gp.gram_matvec()
     else:
         gram_matvec = gp.gram_matvec_partitioned(args.num_partitions, checkpoint=True)
+    if mesh is not None:
+        gram_matvec = parallel.sharded_gram_policy(gram_matvec, mesh)
     constrain = gp.constraint_greater_than(noise_minval)
     likelihood, p_likelihood = gp.likelihood_pdf_p(
         gram_matvec, logpdf_p, precondition, constrain=constrain
     )
 
-    ndim = train_x.shape[-1]
     mean, p_mean = gp.mean_constant(shape_out=())
     kernel, p_kernel = gp.kernel_scaled_matern_32(shape_in=(ndim,), shape_out=())
     prior = gp.model_gp(mean, kernel)
     loss = gp.target_logml(prior, likelihood)
 
-    key, subkey = jax.random.split(key)
-    ps = exp_util.tree_random_like(subkey, (p_mean, p_kernel, p_likelihood))
-    p_opt, unflatten = jax.flatten_util.ravel_pytree(ps)
+    ps_template = (p_mean, p_kernel, p_likelihood)
+    if unflatten is None:
+        _flat, unflatten = jax.flatten_util.ravel_pytree(ps_template)
 
     @jax.jit
     def mll_lanczos(params, key, Xs, ys):
@@ -208,6 +239,59 @@ def run(args, *, script_file, solver_mode: str):
             Xs, ys, params_mean=p1, params_kernel=p2, params_likelihood=p3
         )
         return postmean(x)
+
+    return SimpleNamespace(
+        mll_lanczos=mll_lanczos,
+        mll_eval=mll_eval,
+        predict_mean=predict_mean,
+        ps_template=ps_template,
+        unflatten=unflatten,
+        mesh=mesh,
+        constrain=constrain,
+    )
+
+
+def run(args, *, script_file, solver_mode: str):
+    """Train GP hyperparameters; ``solver_mode`` is 'adaptive' or 'fixed'."""
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
+    key = jax.random.PRNGKey(args.seed)
+    key, subkey = jax.random.split(key)
+
+    inputs, targets = load_data(args.dataset)
+    inputs = jnp.asarray(inputs, jnp.float32)
+    targets = jnp.asarray(targets, jnp.float32)
+
+    if args.num_data > 0:
+        inputs, targets = inputs[: args.num_data], targets[: args.num_data]
+
+    # Subsample so the partition count divides the train split -- and,
+    # under --mesh, so the mesh rows axis divides the train split too
+    # (train = 4 * coeff * partitions; rounding coeff to a rows-way
+    # multiple guarantees it).
+    rows_way, _probes_way = parse_mesh(str(getattr(args, "mesh", "1")))
+    num_raw = len(inputs)
+    coeff = num_raw // (5 * args.num_partitions)
+    if rows_way > 1:
+        coeff = (coeff // rows_way) * rows_way
+    num_data = int(coeff * 5 * args.num_partitions)
+    train, test = data_util.split_train_test_shuffle(
+        subkey, inputs[:num_data], targets[:num_data], train_fraction=0.8
+    )
+    (train_x, train_y), (test_x, test_y) = train, test
+    print(f"dataset {args.dataset}: train {train_x.shape}, test {test_x.shape}")
+
+    stack = assemble(
+        args, n_train=len(train_x), ndim=train_x.shape[-1], solver_mode=solver_mode
+    )
+    mll_lanczos = stack.mll_lanczos
+    mll_eval = stack.mll_eval
+    predict_mean = stack.predict_mean
+    unflatten = stack.unflatten
+
+    key, subkey = jax.random.split(key)
+    ps = exp_util.tree_random_like(subkey, stack.ps_template)
+    p_opt, _ = jax.flatten_util.ravel_pytree(ps)
 
     # NaN-robust: skip updates whose gradients are non-finite (loose-
     # tolerance CG + stochastic logdet can produce occasional bad steps).

@@ -91,7 +91,12 @@ def gram_matvec_pallas(*, contract_precision: str = "highest"):
             )
             if isinstance(noise, (int, float)) and noise == 0.0:
                 return out
-            return out + noise * v
+            # On the square same-index matvec i covers all of v; under a
+            # row-sharded mesh (parallel.sharded_gram_policy) i is a
+            # local block of global indices -- gather the matching rows.
+            if jnp.shape(i)[0] == jnp.shape(v)[0]:
+                return out + noise * v
+            return out + noise * jnp.take(v, i, axis=0)
 
         return matvec_y
 

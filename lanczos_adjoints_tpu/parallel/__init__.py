@@ -9,5 +9,6 @@ from lanczos_adjoints_tpu.parallel.sharded import (  # noqa: F401
     sharded_dense_operator,
     sharded_dia_operator,
     sharded_gram_matvec,
+    sharded_gram_policy,
     shard_rows,
 )

@@ -38,11 +38,20 @@ def krylov_logdet_slq(
     checkpoint: bool,
     matfun: Callable = jnp.log,
     blocked: bool = False,
+    probe_sharding=None,
 ) -> Callable:
     """SLQ estimator of ``logdet(A)`` differentiable via Lanczos adjoints.
 
     ``matfun`` defaults to plain ``jnp.log`` (reference behaviour); pass
     ``log_clipped()`` for NaN-robust training on near-singular spectra.
+
+    ``probe_sharding`` (a ``jax.sharding.Sharding`` over the leading
+    probe axis) shards the Hutchinson probe batch across a device mesh:
+    the per-probe Lanczos recurrences become the data-parallel axis and
+    the probe mean compiles to one psum.  Only meaningful for the
+    per-probe (``blocked=False``) mode -- the blocked mode exists to
+    amortise kernel evaluations across probes *within* a device, so its
+    probes stay local.
 
     ``blocked=True`` runs all probes' Lanczos recurrences together with
     ONE multi-RHS operator application per step
@@ -67,7 +76,9 @@ def krylov_logdet_slq(
 
         else:
             integrand = lanczos.integrand_spd(matfun, krylov_depth, matvec)
-            estimate = _hutchinson(integrand, sample)
+            estimate = _hutchinson(
+                integrand, sample, probe_sharding=probe_sharding
+            )
 
         if num_batches == 1:
             value = estimate(key)
