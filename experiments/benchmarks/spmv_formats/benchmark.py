@@ -123,27 +123,40 @@ if __name__ == "__main__":
             # ``values`` rides through slope_time as a traced argument:
             # closing over it would embed the array in the lowered HLO
             # (hundreds of MB for the FEM cases).
-            t = timing.slope_time(matvec, v, values, reps=8)
+            t, t_info = timing.slope_time(
+                matvec, v, values, reps=8, return_info=True
+            )
             nnz_s = mat.nnz / t
             bw = info.bytes_per_matvec / t
             # VJP (transpose matvec + value gradient) throughput.
             grad = jax.grad(lambda x, vl: jnp.sum(matvec(x, vl) ** 2), argnums=0)
-            t_vjp = timing.slope_time(grad, v, values, reps=8)
+            t_vjp, t_vjp_info = timing.slope_time(
+                grad, v, values, reps=8, return_info=True
+            )
             print(
                 f"{case_name}/{fmt}: {t * 1e3:.3f} ms/matvec "
                 f"({nnz_s / 1e9:.2f} Gnnz/s, {bw / 1e9:.0f} GB/s eff, "
                 f"fill {info.fill_efficiency:.3f}); vjp {t_vjp * 1e3:.3f} ms"
             )
-            results.append(
-                {
-                    "case": case_name,
-                    "format": fmt,
-                    "time_s": t,
-                    "time_vjp_s": t_vjp,
-                    "nnz_per_s": nnz_s,
-                    "fill": info.fill_efficiency,
-                }
-            )
+            row = {
+                "case": case_name,
+                "format": fmt,
+                "time_s": t,
+                "time_vjp_s": t_vjp,
+                "nnz_per_s": nnz_s,
+                "fill": info.fill_efficiency,
+            }
+            # Refuse to persist sub-window slope readings as numbers: a
+            # window below the resolvable threshold can produce garbage
+            # (even negative) times -- mark them unresolved instead.
+            if not (t_info["resolved"] and t > 0):
+                row["time_s"] = None
+                row["nnz_per_s"] = None
+                row["unresolved"] = True
+            if not (t_vjp_info["resolved"] and t_vjp > 0):
+                row["time_vjp_s"] = None
+                row["unresolved"] = True
+            results.append(row)
 
     directory = exp_util.matching_directory(__file__, "results/")
     os.makedirs(directory, exist_ok=True)

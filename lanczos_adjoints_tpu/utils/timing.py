@@ -25,6 +25,7 @@ def slope_time(
     feedback_scale: float = 1e-12,
     min_window: float = 5e-3,
     max_reps: int = 4096,
+    return_info: bool = False,
 ):
     """On-device seconds per evaluation of ``fn(*args)``.
 
@@ -35,6 +36,11 @@ def slope_time(
     Fast workloads auto-escalate ``reps`` until the measured window
     exceeds ``min_window`` seconds -- below that the relay's per-call
     jitter dominates and the slope can even come out negative.
+
+    ``return_info=True`` additionally returns
+    ``{"resolved": bool, "window_s": float, "reps": int}`` so benchmark
+    scripts can refuse to persist sub-window (unreliable, possibly
+    negative) readings instead of silently committing them.
     """
     import jax
     import jax.numpy as jnp
@@ -88,6 +94,13 @@ def slope_time(
             f"{min_window * 1e3:.0f} ms at reps={reps}; slope unreliable"
         )
         warnings.warn(msg, stacklevel=2)
+    if return_info:
+        info = {
+            "resolved": bool(window >= min_window),
+            "window_s": float(window),
+            "reps": int(reps),
+        }
+        return per_iter, info
     return per_iter
 
 
