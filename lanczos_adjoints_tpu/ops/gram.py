@@ -50,7 +50,9 @@ def gram_matvec():
     return matvec
 
 
-def gram_matvec_pallas(*, contract_precision: str = "highest"):
+def gram_matvec_pallas(
+    *, contract_precision: str = "highest", data_grads: bool = False
+):
     """Fused streaming Pallas Gram matvec policy (O(N) memory, fastest).
 
     Same policy shape as ``gram_matvec()`` but requires a kernel closure
@@ -60,6 +62,9 @@ def gram_matvec_pallas(*, contract_precision: str = "highest"):
     at N=65,536 d=1 RBF vs 23.7 ms for the vmapped policy (RESULTS.md).
     Kernel evaluations use an exp2-based fast path (~4e-5 relative);
     gradients re-stream tiles instead of storing N^2 residuals.
+    ``data_grads=True`` additionally computes true input cotangents
+    (deep-kernel / inducing-point training); the default returns
+    symbolic zeros for them -- see ``pallas_gram.gram_matvec_fused``.
     """
 
     def matvec(fun: Callable) -> Callable:
@@ -74,7 +79,7 @@ def gram_matvec_pallas(*, contract_precision: str = "highest"):
         from lanczos_adjoints_tpu.ops import pallas_gram
 
         fused = pallas_gram.gram_matvec_fused(
-            kind, contract_precision=contract_precision
+            kind, contract_precision=contract_precision, data_grads=data_grads
         )
         indexed = getattr(fun, "fused_data", None)
 

@@ -294,6 +294,77 @@ def _grads_kernel_mxu(kind, m_is_one, precision, x_ref, xs_ref, y_ref, ys_ref,
     out_ref[0] += jnp.concatenate([dout_col, red], axis=1)
 
 
+def _dgrads_kernel_vpu(kind, m_is_one, precision, x_ref, y_ref, v_ref, u_ref,
+                       out_ref):
+    """Data-gradient pass, broadcast-difference distances.
+
+    Output block (8, rb//8, 1 + d) indexed by the row tile: channel 0 is
+    the row-sum ``S_i = sum_j w_ij`` and channels 1..d are
+    ``T_id = sum_j w_ij * ys_jd`` (scaled-y moments), with
+    ``w_ij = (sum_m u_im v_jm) * dg/dsq``.  The caller assembles
+    ``dx_id = outputscale * (2/ell_d^2) * (x_id S_i - T_id / scale_d)``.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    p = _tile_p_vpu(x_ref[0], y_ref[0], negate=kind == "rbf")
+    _, dg = _kernel_value_dsq(kind, p)
+    if m_is_one:
+        uv = u_ref[0] * v_ref[0]
+    else:
+        uv = jax.lax.dot_general(
+            u_ref[0],
+            v_ref[0],
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+    w = uv * dg  # (8, 128, C)
+    s = jnp.sum(w, axis=-1)  # (8, 128)
+    t = jax.lax.dot_general(
+        w,
+        y_ref[0],  # (d, C) transposed scaled columns
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (8, 128, d)
+    out_ref[0] += jnp.concatenate([s[..., None], t], axis=-1)
+
+
+def _dgrads_kernel_mxu(kind, m_is_one, precision, x_ref, y_ref, ys_ref,
+                       v_ref, u_ref, out_ref):
+    """Data-gradient pass, MXU distances; stats = w . [1, ys] directly."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    p = _tile_p_mxu(x_ref[0], y_ref[0])
+    _, dg = _kernel_value_dsq(kind, p, clamp=True)
+    if m_is_one:
+        uv = u_ref[0] * v_ref[0]
+    else:
+        uv = jax.lax.dot_general(
+            u_ref[0],
+            v_ref[0],
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+    w = uv * dg
+    out_ref[0] += jax.lax.dot_general(
+        w,
+        ys_ref[0],  # (C, 1 + d): [1, ys]
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (8, 128, 1 + d)
+
+
 # ---------------------------------------------------------------------------
 # Host-side assembly
 # ---------------------------------------------------------------------------
@@ -467,15 +538,100 @@ def _param_grads(kind, precision, x, y, v, u, ell, outputscale):
     return d_ell, d_out
 
 
-def gram_matvec_fused(kind: str, *, contract_precision: str = "highest"):
+def _data_grad(kind, precision, x, y, v, u, ell, outputscale):
+    """dL/dx of ``sum_m u_m^T K(x, y) v_m`` as two streamed moments.
+
+    With ``w_ij = (sum_m u_im v_jm) * dg/dsq`` the input gradient is
+    ``dx_id = outputscale * 2/ell_d^2 * (x_id sum_j w_ij - sum_j w_ij y_jd)``;
+    the kernel accumulates the row-sum and the scaled-y moment per row
+    tile, so memory stays O(N(1+d)).  ``dL/dy`` follows by symmetry:
+    ``_data_grad(kind, prec, y, x, u, v, ...)`` (swap rows/columns and
+    the probe/cotangent roles; ``w`` transposes onto itself).
+    """
+    v2 = v[:, None] if v.ndim == 1 else v
+    u2 = u[:, None] if u.ndim == 1 else u
+    m = v2.shape[-1]
+    d = x.shape[-1]
+    rb, cb = _BLOCKS[kind]
+    via_mxu = d > VPU_DMAX
+    n_cols_pad = -(-y.shape[0] // cb) * cb
+
+    if m == 1:
+        v_p, v_spec = _v_single_spec_and_pack(v2[:, 0], n_cols_pad, cb)
+    else:
+        v_p = _pad_to(v2, n_cols_pad).reshape(-1, cb, m)
+        v_spec = _col_spec(cb, m)
+    u_p, _ = _prep_rows(u2, rb)
+
+    if via_mxu:
+        xs = _scaled(x, ell, kind)
+        x_p, n_rows_pad = _prep_rows(_augment_rows(xs), rb)
+        y_aug = _augment_cols(_scaled(y, ell, kind))
+        y_p = _pad_to(y_aug, n_cols_pad).reshape(-1, cb, y_aug.shape[-1])
+        ys = _scaled(y, ell, kind)
+        ys_aug = jnp.concatenate([jnp.ones_like(ys[:, :1]), ys], axis=-1)
+        ys_p = _pad_to(ys_aug, n_cols_pad).reshape(-1, cb, 1 + d)
+        kernel = functools.partial(_dgrads_kernel_mxu, kind, m == 1, precision)
+        operands = (x_p, y_p, ys_p, v_p, u_p)
+        in_specs = [
+            _row_spec(rb, d + 2),
+            _col_spec(cb, d + 2),
+            _col_spec(cb, 1 + d),
+            v_spec,
+            _row_spec(rb, m),
+        ]
+        ncb = y_p.shape[0]
+    else:
+        x_p, n_rows_pad = _prep_rows(_scaled(x, ell, kind), rb)
+        y_t = _pad_to(_scaled(y, ell, kind), n_cols_pad).T
+        y_p = y_t.reshape(d, -1, cb).transpose(1, 0, 2)
+        kernel = functools.partial(_dgrads_kernel_vpu, kind, m == 1, precision)
+        operands = (x_p, y_p, v_p, u_p)
+        in_specs = [_row_spec(rb, d), _colT_spec(cb, d), v_spec, _row_spec(rb, m)]
+        ncb = y_p.shape[0]
+    nb = x_p.shape[0]
+
+    moments = pl.pallas_call(
+        kernel,
+        grid=(nb, ncb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 8, rb // 8, 1 + d),
+            lambda i, j: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, rb // 8, 1 + d), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
+    )(*operands)
+    moments = moments.reshape(n_rows_pad, 1 + d)[: x.shape[0]]
+    row_sum, t = moments[:, :1], moments[:, 1:]
+    # t carries sum_j w y_jd in *scaled* coordinates; unscale with the
+    # same factor _scaled applied (sqrt(pscale)/ell).
+    scale = jnp.sqrt(_PSCALE[kind]) / ell
+    return outputscale * (2.0 / ell**2) * (x * row_sum - t / scale)
+
+
+def gram_matvec_fused(
+    kind: str, *, contract_precision: str = "highest", data_grads: bool = False
+):
     """Return ``matvec(x, y, v, lengthscale, outputscale) -> K(x,y) @ v``.
 
     ``v`` may be ``(N,)`` or ``(N, m)`` (multi-vector: SLQ probe batches
     ride a single kernel-evaluation pass).  ``lengthscale`` may be a
     scalar or a ``(d,)`` ARD vector.  Differentiable w.r.t. ``v``,
-    ``lengthscale`` and ``outputscale`` (not the data); the backward
-    pass streams the tiles again instead of storing N^2 residuals, so
-    gradient evaluation is O(N) memory at any N.
+    ``lengthscale`` and ``outputscale``; the backward pass streams the
+    tiles again instead of storing N^2 residuals, so gradient
+    evaluation is O(N) memory at any N.
+
+    ``data_grads``: by default the backward pass returns symbolic-zero
+    cotangents for ``x`` and ``y`` -- an EXPLICIT design choice, not an
+    oversight: GP hyperparameter training discards input cotangents
+    (``closure_convert`` threads the data through the Lanczos adjoint's
+    ``jax.vjp`` even though only parameter gradients are consumed), and
+    charging every MLL gradient two extra O(N^2) streaming passes for
+    discarded values would be waste.  Pass ``data_grads=True`` to get
+    the true ``dx``/``dy`` (deep-kernel / inducing-point use), computed
+    by two more streamed moment passes (``_data_grad``).
 
     ``contract_precision``: MXU precision of the multi-vector
     contraction ("highest" = exact f32; "default" = bf16 inputs with
@@ -501,6 +657,10 @@ def gram_matvec_fused(kind: str, *, contract_precision: str = "highest"):
         d_ell, d_out = _param_grads(
             kind, precision, x, y, v, u, ell, outputscale
         )
+        if data_grads:
+            dx = _data_grad(kind, precision, x, y, v, u, ell, outputscale)
+            dy = _data_grad(kind, precision, y, x, u, v, ell, outputscale)
+            return dx, dy, dv, d_ell, d_out
         return None, None, dv, d_ell, d_out
 
     matvec.defvjp(matvec_fwd, matvec_bwd)

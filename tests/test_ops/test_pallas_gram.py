@@ -115,6 +115,42 @@ def test_fused_multivector_and_ard(kind, d):
         assert rel < 1e-3, rel
 
 
+@pytest.mark.parametrize("kind,d", [("rbf", 3), ("matern32", 3), ("rbf", 12)])
+def test_fused_data_gradients(kind, d):
+    """data_grads=True returns true dx/dy (autodiff oracle); default zeros.
+
+    d=12 exercises the MXU moment kernel.  Rectangular x != y checks
+    the dy-by-symmetry path independently of dx.
+    """
+    n, p, m = 520, 260, 3  # deliberately not block multiples
+    kx, ky, kv, ku = jax.random.split(jax.random.PRNGKey(3), 4)
+    x = jax.random.normal(kx, (n, d), jnp.float32)
+    y = jax.random.normal(ky, (p, d), jnp.float32)
+    vs = jax.random.normal(kv, (p, m), jnp.float32)
+    us = jax.random.normal(ku, (n, m), jnp.float32)
+    ell, out_s = jnp.asarray(0.9), jnp.asarray(1.3)
+
+    mv = pallas_gram.gram_matvec_fused(kind, data_grads=True)
+
+    def loss_fused(x, y):
+        return jnp.sum(us * mv(x, y, vs, ell, out_s))
+
+    def loss_ref(x, y):
+        ref = gram.gram_matvec()(_reference_kernel(kind, ell, out_s))
+        return sum(jnp.sum(us[:, k] * ref(x, y, vs[:, k])) for k in range(m))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(x, y)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, y)
+    for a, b in zip(g_fused, g_ref):
+        rel = jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-9)
+        assert rel < 10 * _TOL[kind], rel
+
+    # The default is explicit symbolic zeros for the data cotangents.
+    mv0 = pallas_gram.gram_matvec_fused(kind)
+    gz = jax.grad(lambda x: jnp.sum(mv0(x, y, vs, ell, out_s)))(x)
+    assert jnp.all(gz == 0.0)
+
+
 @pytest.mark.parametrize("kind", ["rbf", "matern32"])
 def test_gp_policy_gram_matvec_pallas(kind):
     """The gp-layer policy routes tagged kernels to the fused kernel."""
