@@ -107,7 +107,10 @@ def cholesky_partial_pivot(*, rank: int) -> Callable:
 
     Each step pivots to the largest residual diagonal entry; the result
     is de-permuted so callers see the original ordering.  Info carries a
-    ``success`` flag (False if a pivot went non-positive).
+    ``success`` flag: False means the residual was numerically exhausted
+    before ``rank`` columns and the factorisation truncated early
+    (remaining columns zero) -- the output stays finite and usable,
+    unlike the reference's NaN (see the in-body note).
     """
 
     def cholesky(lazy_kernel: Callable, n: int, /):
@@ -124,8 +127,13 @@ def cholesky_partial_pivot(*, rank: int) -> Callable:
         body, initial_diag = _pivot_body(element, n, rank, *params)
         L = jnp.zeros((n, rank))
         perm = jnp.arange(n)
-        init = (L, perm, perm, initial_diag(perm), True)
-        L, perm, _mp, _rd, success = jax.lax.fori_loop(0, rank, body, init)
+        diag0 = initial_diag(perm)
+        # LAPACK pstrf-style exhaustion threshold: pivots below
+        # n * eps * max(diag) are rounding noise, not signal.
+        tol = n * jnp.finfo(diag0.dtype).eps * jnp.max(diag0)
+        init = (L, perm, perm, diag0, True)
+        body_tol = functools.partial(body, tol=tol)
+        L, perm, _mp, _rd, success = jax.lax.fori_loop(0, rank, body_tol, init)
         return _unpermute_rows(L, perm), {"success": success}
 
     def _fwd(*args):
@@ -156,10 +164,10 @@ def _pivot_body(element: Callable, n: int, rank: int, *params):
     def column_p(i, permute):
         return jax.vmap(lambda j: element(permute[j], permute[i], *params))(all_idx)
 
-    def body(i, carry):
+    def body(i, carry, *, tol):
         L, perm, matrix_perm, residual_diag, success = carry
 
-        k = jnp.argmax(jnp.abs(residual_diag))
+        k = jnp.argmax(residual_diag)
 
         matrix_perm = _swap(matrix_perm, i, k)
         L = _swap_rows(L, i, k)
@@ -167,12 +175,25 @@ def _pivot_body(element: Callable, n: int, rank: int, *params):
         residual_diag = _swap(residual_diag, i, k)
 
         pivot_sq = residual_diag[i]
-        pivot = jnp.sqrt(pivot_sq)
+        # Early-termination guard (deliberate divergence from reference
+        # low_rank.py:200-204, which takes sqrt of a possibly-negative
+        # pivot and lets NaN poison L while only flagging
+        # success=False): once the pivot falls below the pstrf-style
+        # rounding threshold the kernel is numerically exhausted at
+        # f32 -- observed on UCI elevators when the learned noise drops
+        # below ~0.014 -- and the remaining columns are set to zero,
+        # which truncates the factorisation at its effective rank and
+        # keeps the Woodbury solve finite.  Also pivot on the *signed*
+        # residual diagonal (the abs of the reference can select a
+        # rounding-negative entry) and clamp it at zero, which is exact
+        # arithmetic's invariant anyway.
+        safe = pivot_sq > tol
+        pivot = jnp.sqrt(jnp.where(safe, pivot_sq, 1.0))
         col = column_p(i, matrix_perm) - L @ L[i, :]
-        col = col / pivot
-        success = jnp.logical_and(success, pivot_sq > 0.0)
+        col = jnp.where(safe, col / pivot, 0.0)
+        success = jnp.logical_and(success, safe)
 
-        residual_diag = residual_diag - col**2
+        residual_diag = jnp.maximum(residual_diag - col**2, 0.0)
         return L.at[:, i].set(col), perm, matrix_perm, residual_diag, success
 
     def initial_diag(permute):

@@ -152,3 +152,35 @@ def test_blocked_handles_duplicate_rows():
     assert bool(jnp.isfinite(L).all())
     err = jnp.linalg.norm(A - L @ L.T) / jnp.linalg.norm(A)
     assert err < 0.2, float(err)
+
+
+def test_pivoted_exhaustion_truncates_instead_of_nan():
+    """Numerically rank-deficient kernel: finite L, success=False.
+
+    The reference (low_rank.py:200-204) takes sqrt of a non-positive
+    pivot once the residual is exhausted and lets NaN poison L --
+    observed in GP training when the learned noise gets small.  This
+    framework truncates: remaining columns zero, Woodbury still solves.
+    """
+    n, true_rank, rank = 40, 5, 12
+    key = jax.random.PRNGKey(0)
+    U = jax.random.normal(key, (n, true_rank), jnp.float32)
+    A = U @ U.T  # exactly rank-5, so pivots 6.. are rounding noise
+
+    cholesky = precond.cholesky_partial_pivot(rank=rank)
+    L, info = cholesky(lambda i, j: A[i, j], n)
+    assert jnp.all(jnp.isfinite(L))
+    assert not bool(info["success"])
+    # The factorisation still reconstructs A at its effective rank.
+    assert jnp.allclose(L @ L.T, A, atol=1e-3, rtol=1e-3)
+
+    # And the Woodbury preconditioner built from the exhausted
+    # factorisation solves (A + sigma I) x = b exactly: the truncated
+    # L L^T equals A, so the zero columns must stay inert.
+    precondition = precond.preconditioner(precond.cholesky_partial_pivot(rank=rank))
+    solve, _info = precondition(lambda i, j: A[i, j], n)
+    b = jnp.ones((n,))
+    out = solve(b, 0.1)
+    assert jnp.all(jnp.isfinite(out))
+    x_true = jnp.linalg.solve(A + 0.1 * jnp.eye(n), b)
+    assert jnp.allclose(out, x_true, atol=1e-2, rtol=1e-2)
