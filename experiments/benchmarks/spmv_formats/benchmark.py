@@ -68,7 +68,20 @@ if __name__ == "__main__":
         (
             "random",
             random_csr(args.random_n, args.random_nnz_per_row),
-            ["ell"],
+            ["ell", "ell_gather"],
+        ),
+        # Real scattered pattern from the bundled SuiteSparse set:
+        # bloweybq's (8,128)-tile fill is 0.07% (block formats hopeless)
+        # and it carries two near-dense rows (plain ELL would pad 1400x),
+        # so it exercises the hybrid heavy-row peel + tiled-ELL path.
+        # The floor to beat is the reference-style BCOO segment-sum
+        # (ref exp_util.py:35-42).
+        (
+            "bloweybq",
+            exp_util.suite_sparse_load(
+                "bloweybq", path="/root/reference/data/matrices/"
+            ),
+            ["hyb", "coo"],
         ),
     ]
 
@@ -112,6 +125,27 @@ if __name__ == "__main__":
                         nnz=mat.nnz,
                         bytes_per_matvec=bsr.num_slots * itemsize
                         + 2 * mat.shape[0] * itemsize,
+                    )
+                elif fmt == "coo":
+                    matvec, values = sparse.coo_matvec_fn(mat)
+                    info = sparse.OperatorInfo(
+                        format=fmt,
+                        stored_slots=mat.nnz,
+                        nnz=mat.nnz,
+                        bytes_per_matvec=3 * mat.nnz * 4 + 2 * mat.shape[0] * 4,
+                    )
+                elif fmt == "ell_gather":
+                    # The pre-round-3 element-gather floor, kept so the
+                    # tiled-ELL speedup is measured against it.
+                    ell = sparse.ell_pack(mat)
+                    values = sparse.ell_values(ell, mat.data)
+                    matvec = sparse.ell_matvec_fn_gather(ell)
+                    info = sparse.OperatorInfo(
+                        format=fmt,
+                        stored_slots=ell.num_slots,
+                        nnz=mat.nnz,
+                        bytes_per_matvec=2 * ell.num_slots * 4
+                        + 2 * mat.shape[0] * 4,
                     )
                 else:
                     matvec, values, info = sparse.sparse_operator(

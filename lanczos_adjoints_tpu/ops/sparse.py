@@ -397,6 +397,116 @@ def ell_values(ell: ELLData, csr_data) -> jax.Array:
 
 
 def ell_matvec_fn(ell: ELLData):
+    """Tiled-ELL matvec: 128-lane window-row gather + one-hot lane select.
+
+    A per-element ``jnp.take`` sustains ~1 GB/s on TPU (serialised
+    scalar gathers).  Instead, fetch for every stored entry the whole
+    128-wide *window row* of ``v`` it points into -- whole-lane-row
+    gathers run at HBM roofline (~855 GB/s measured) -- and select the
+    lane with a one-hot contraction that XLA fuses into the gather
+    consumer (pure VPU compare+FMA, no scatter, no element gather).
+    Traffic is 512 B/entry instead of one serialised element: ~13x
+    faster at width 8 (RESULTS.md SpMV table).
+    """
+    cols = ell.cols
+    window = cols // 128  # (n_rows, width) v-window row ids
+    lane = cols % 128
+    n_c = ell.shape[1]
+    padded_c = -(-n_c // 128) * 128
+
+    def matvec(v, vals):
+        vpad = jnp.pad(v, (0, padded_c - n_c)) if padded_c != n_c else v
+        v2 = vpad.reshape(-1, 128)
+        g = jnp.take(v2, window, axis=0)  # (n_rows, width, 128) row gather
+        onehot = (lane[..., None] == jnp.arange(128, dtype=lane.dtype)).astype(
+            v.dtype
+        )
+        picked = jnp.einsum("rwl,rwl->rw", g, onehot, precision="highest")
+        return jnp.sum(vals * picked, axis=1)
+
+    return matvec
+
+
+class HYBData(NamedTuple):
+    """Hybrid ELL: light rows in (tiled) ELL + heavy rows as dense.
+
+    Plain ELL pads every row to the longest one, which explodes on
+    matrices with a few (near-)dense rows -- bloweybq's max row is the
+    full 10001 columns at mean degree 7, so pure ELL would store 1400x
+    the nnz.  Rows longer than ``heavy_factor * max(8, median)`` are
+    peeled into an explicit (k, n_cols) dense block (k is tiny on real
+    patterns; its matvec is one skinny MXU matmul), and the remaining
+    light rows use the tiled-ELL window-gather path at their own small
+    width.  Degenerates to pure tiled ELL when no row is heavy.
+    """
+
+    ell: ELLData
+    heavy_rows: jax.Array  # (k,) int32 row indices (possibly k=0)
+    heavy_scatter: np.ndarray  # heavy CSR entry -> flat (k, n_cols) slot
+    light_mask: np.ndarray  # bool per CSR entry: in the light part
+    shape: tuple
+    nnz: int
+
+    @property
+    def num_slots(self) -> int:
+        return self.ell.num_slots + int(self.heavy_rows.shape[0]) * self.shape[1]
+
+
+def hyb_pack(mat: CSRMatrix, *, heavy_factor: int = 4) -> HYBData:
+    counts = np.diff(mat.indptr)
+    threshold = heavy_factor * max(8, int(np.median(counts)))
+    heavy = np.flatnonzero(counts > threshold)
+    is_heavy_entry = np.isin(mat.rows, heavy)
+
+    light_mask = ~is_heavy_entry
+    light = csr_from_coo(
+        mat.rows[light_mask],
+        mat.indices[light_mask],
+        mat.data[light_mask],
+        shape=mat.shape,
+    )
+    # csr_from_coo sorts by (row, col) -- the light entries are already
+    # in CSR order, so the entry<->slot correspondence is preserved.
+    heavy_pos = np.searchsorted(heavy, mat.rows[is_heavy_entry])
+    heavy_scatter = heavy_pos * mat.shape[1] + mat.indices[is_heavy_entry]
+    return HYBData(
+        ell=ell_pack(light),
+        heavy_rows=jnp.asarray(heavy, dtype=jnp.int32),
+        heavy_scatter=heavy_scatter,
+        light_mask=light_mask,
+        shape=mat.shape,
+        nnz=mat.nnz,
+    )
+
+
+def hyb_values(hyb: HYBData, csr_data):
+    """(ell_values, heavy_dense) pytree of differentiable parameters."""
+    data = np.asarray(csr_data)
+    ell_vals = ell_values(hyb.ell, data[hyb.light_mask])
+    k = int(hyb.heavy_rows.shape[0])
+    dense = np.zeros(k * hyb.shape[1], dtype=data.dtype)
+    dense[hyb.heavy_scatter] = data[~hyb.light_mask]
+    return ell_vals, jnp.asarray(dense.reshape(k, hyb.shape[1]))
+
+
+def hyb_matvec_fn(hyb: HYBData):
+    light_matvec = ell_matvec_fn(hyb.ell)
+    heavy_rows = hyb.heavy_rows
+    k = int(heavy_rows.shape[0])
+
+    def matvec(v, vals):
+        ell_vals, dense = vals
+        out = light_matvec(v, ell_vals)
+        if k == 0:
+            return out
+        heavy_out = dense @ v  # (k, n) @ (n,) skinny matmul
+        return out.at[heavy_rows].set(heavy_out)
+
+    return matvec
+
+
+def ell_matvec_fn_gather(ell: ELLData):
+    """Element-gather ELL matvec (the ~1 GB/s floor; kept for benchmarks)."""
     cols = ell.cols
 
     def matvec(v, vals):
@@ -448,7 +558,7 @@ def sparse_operator(
             fmt = "dia"
         else:
             bsr = bsr_pack(mat)
-            fmt = "bsr" if mat.nnz / bsr.num_slots >= bsr_min_fill else "ell"
+            fmt = "bsr" if mat.nnz / bsr.num_slots >= bsr_min_fill else "hyb"
 
     if fmt == "dia":
         dia = dia_pack(mat)
@@ -480,8 +590,14 @@ def sparse_operator(
         matvec = ell_matvec_fn(ell)
         values = ell_values(ell, mat.data).astype(dtype)
         slots = ell.num_slots
+    elif fmt == "hyb":
+        hyb = hyb_pack(mat)
+        matvec = hyb_matvec_fn(hyb)
+        ell_vals, dense = hyb_values(hyb, mat.data)
+        values = (ell_vals.astype(dtype), dense.astype(dtype))
+        slots = hyb.num_slots
     else:
-        msg = f"format={format!r} not in ('auto', 'dia', 'bsr', 'ell')"
+        msg = f"format={format!r} not in ('auto', 'dia', 'bsr', 'ell', 'hyb')"
         raise ValueError(msg)
 
     if with_info:

@@ -32,7 +32,7 @@ def _random_csr(n, nnz_per_row, key=0):
     return sparse.csr_from_coo(rows, cols, vals, shape=(n, n))
 
 
-@pytest.mark.parametrize("fmt", ["dia", "bsr", "ell"])
+@pytest.mark.parametrize("fmt", ["dia", "bsr", "ell", "hyb"])
 def test_matvec_matches_dense_laplacian(fmt):
     mat = _laplacian_2d(12)
     dense = mat.todense()
@@ -43,7 +43,7 @@ def test_matvec_matches_dense_laplacian(fmt):
     np.testing.assert_allclose(out, dense @ v, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("fmt", ["bsr", "ell"])
+@pytest.mark.parametrize("fmt", ["bsr", "ell", "hyb"])
 def test_matvec_matches_dense_random(fmt):
     mat = _random_csr(200, 5)
     dense = mat.todense()
@@ -54,7 +54,7 @@ def test_matvec_matches_dense_random(fmt):
     np.testing.assert_allclose(out, dense @ v, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("fmt", ["dia", "bsr", "ell"])
+@pytest.mark.parametrize("fmt", ["dia", "bsr", "ell", "hyb"])
 def test_vjp_matches_dense(fmt):
     mat = _laplacian_2d(8)
     dense = jnp.asarray(mat.todense().astype(np.float32))
@@ -89,10 +89,29 @@ def test_autoselect_dia_for_stencil():
     assert info.fill_efficiency > 0.5
 
 
-def test_autoselect_ell_for_scattered():
+def test_autoselect_hyb_for_scattered():
     mat = _random_csr(600, 3)
     _mv, _vals, info = sparse.sparse_operator(mat, with_info=True)
-    assert info.format == "ell"
+    assert info.format == "hyb"
+
+
+def test_hyb_peels_heavy_rows():
+    """A near-dense row must not blow up the ELL width (bloweybq case)."""
+    n = 400
+    mat = _random_csr(n, 4)
+    rows = np.concatenate([mat.rows, np.full(n, 7)])
+    cols = np.concatenate([mat.indices, np.arange(n)])
+    vals = np.concatenate([mat.data, np.ones(n)])
+    mat2 = sparse.csr_from_coo(rows, cols, vals, shape=(n, n))
+
+    hyb = sparse.hyb_pack(mat2)
+    assert int(hyb.heavy_rows.shape[0]) >= 1
+    assert hyb.ell.width <= 16  # not padded to the dense row
+    matvec = sparse.hyb_matvec_fn(hyb)
+    values = sparse.hyb_values(hyb, mat2.data)
+    v = np.random.default_rng(5).normal(size=n).astype(np.float32)
+    out = np.asarray(matvec(jnp.asarray(v), values))
+    np.testing.assert_allclose(out, mat2.todense() @ v, rtol=1e-4, atol=1e-4)
 
 
 def test_symmetric_detection():
