@@ -40,18 +40,40 @@ if __name__ == "__main__":
     parser.add_argument("--alpha", type=float, default=1.0)
     parser.add_argument("--lanczos_rank", type=int, default=20)
     parser.add_argument("--num_samples", type=int, default=16)
+    parser.add_argument(
+        "--hidden",
+        type=str,
+        default="",
+        help="comma-separated MLP widths (see callibration.py --hidden)",
+    )
+    parser.add_argument("--data_dim", type=int, default=16)
+    parser.add_argument("--num_data", type=int, default=512)
+    parser.add_argument("--num_classes", type=int, default=4)
+    parser.add_argument("--map_epochs", type=int, default=200)
+    parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = parser.parse_args()
     print(args)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     key = jax.random.PRNGKey(args.seed)
     key, k_data, k_init, k_ood, k_sample = jax.random.split(key, 5)
-    x, y = make_data(k_data)
+    from callibration import _parse_hidden
+
+    x, y = make_data(
+        k_data, num=args.num_data, dim=args.data_dim, num_classes=args.num_classes
+    )
     x_ood = 4.0 * jax.random.normal(k_ood, x.shape)  # off-manifold inputs
 
-    init, apply = bnn.model_mlp(out_dims=y.shape[-1], activation=jnp.tanh)
+    init, apply = bnn.model_mlp(
+        out_dims=y.shape[-1], activation=jnp.tanh, hidden=_parse_hidden(args.hidden)
+    )
     variables = init(k_init, x)
     params_vec, unflatten, _ = bnn.vectorize_nn(apply, variables)
-    params_vec, _ = train_map(key, apply, params_vec, unflatten, x, y)
+    params_vec, _ = train_map(
+        key, apply, params_vec, unflatten, x, y, num_epochs=args.map_epochs
+    )
+    print(f"n_params={len(params_vec)}")
 
     kwargs = {
         "loss_single": bnn.loss_training_cross_entropy_single,
@@ -111,5 +133,8 @@ if __name__ == "__main__":
     os.makedirs(directory, exist_ok=True)
     import json
 
-    with open(f"{directory}s{args.seed}_metrics.json", "w") as fp:
+    tag = f"s{args.seed}"
+    if args.hidden:
+        tag += f"_p{len(params_vec)}_rank{args.lanczos_rank}"
+    with open(f"{directory}{tag}_metrics.json", "w") as fp:
         json.dump(results, fp, indent=2)

@@ -39,7 +39,13 @@ from lanczos_adjoints_tpu.trace.hutchinson import (
 # ---------------------------------------------------------------------------
 
 
-def model_mlp(*, out_dims, activation: Callable):
+def model_mlp(*, out_dims, activation: Callable, hidden=(50, 50, 5, 5)):
+    """Flax MLP (reference bnn_util.py:21-40, widths there fixed).
+
+    ``hidden`` widths are configurable beyond the reference so the GGN
+    + SLQ stack can be exercised at the reference's VAN-tiny parameter
+    scale (millions of weights) without torchvision/ImageNet.
+    """
     import flax.linen
 
     class _MLP(flax.linen.Module):
@@ -49,7 +55,7 @@ def model_mlp(*, out_dims, activation: Callable):
         @flax.linen.compact
         def __call__(self, x):
             x = x.reshape((x.shape[0], -1))
-            for width in (50, 50, 5, 5):
+            for width in hidden:
                 x = flax.linen.Dense(width)(x)
                 x = self.activation(x)
             return flax.linen.Dense(self.out_dims)(x)

@@ -169,3 +169,53 @@ def test_last_layer_ggn(setup):
     assert ggn_last.shape == (len(idx), len(idx))
     eigvals = jnp.linalg.eigvalsh(ggn_last)
     assert jnp.all(eigvals > -1e-5)  # PSD
+
+
+def test_ggn_vp_dataloader_with_torch_loader():
+    """Stream the GGN matvec over a real torch DataLoader.
+
+    Reference ggn_vp_dataloader (bnn_util.py:325-346) was only ever run
+    against torchvision pipelines; torch-cpu is available here, so pin
+    the streamed accumulation against the single-batch batched operator
+    on the full data.
+    """
+    torch = pytest.importorskip("torch")
+    import numpy as np
+
+    from lanczos_adjoints_tpu.utils.data import numpy_collate_fn
+
+    key = jax.random.PRNGKey(0)
+    kx, ki, kv = jax.random.split(key, 3)
+    num, dim, classes = 64, 6, 3
+    x = jax.random.normal(kx, (num, dim), jnp.float32)
+    y = jax.nn.one_hot(jnp.arange(num) % classes, classes)
+
+    init, apply = bnn.model_mlp(out_dims=classes, activation=jnp.tanh)
+    params_vec, unflatten, _ = bnn.vectorize_nn(apply, init(ki, x))
+
+    dataset = [
+        (np.asarray(x[i]), np.asarray(y[i]))
+        for i in range(num)
+    ]
+    loader = torch.utils.data.DataLoader(
+        dataset, batch_size=16, shuffle=False, collate_fn=numpy_collate_fn
+    )
+
+    gvp_stream = bnn.ggn_vp_dataloader(
+        params_vec,
+        loss_single=bnn.loss_training_cross_entropy_single,
+        model_fun=apply,
+        param_unflatten=unflatten,
+        data_loader=loader,
+    )
+    gvp_full = bnn.ggn_vp(
+        loss_single=bnn.loss_training_cross_entropy_single,
+        model_fun=apply,
+        param_unflatten=unflatten,
+    )
+    v = jax.random.normal(kv, params_vec.shape, jnp.float32)
+    streamed = gvp_stream(v)
+    full = gvp_full(v, params_vec, x, y)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(full), rtol=1e-4, atol=1e-5
+    )
