@@ -128,11 +128,13 @@ if __name__ == "__main__":
                     )
                 elif fmt == "coo":
                     matvec, values = sparse.coo_matvec_fn(mat)
+                    itemsize = mat.data.dtype.itemsize
                     info = sparse.OperatorInfo(
                         format=fmt,
                         stored_slots=mat.nnz,
                         nnz=mat.nnz,
-                        bytes_per_matvec=3 * mat.nnz * 4 + 2 * mat.shape[0] * 4,
+                        bytes_per_matvec=3 * mat.nnz * itemsize
+                        + 2 * mat.shape[0] * itemsize,
                     )
                 elif fmt == "ell_gather":
                     # The pre-round-3 element-gather floor, kept so the
@@ -140,12 +142,13 @@ if __name__ == "__main__":
                     ell = sparse.ell_pack(mat)
                     values = sparse.ell_values(ell, mat.data)
                     matvec = sparse.ell_matvec_fn_gather(ell)
+                    itemsize = mat.data.dtype.itemsize
                     info = sparse.OperatorInfo(
                         format=fmt,
                         stored_slots=ell.num_slots,
                         nnz=mat.nnz,
-                        bytes_per_matvec=2 * ell.num_slots * 4
-                        + 2 * mat.shape[0] * 4,
+                        bytes_per_matvec=2 * ell.num_slots * itemsize
+                        + 2 * mat.shape[0] * itemsize,
                     )
                 else:
                     matvec, values, info = sparse.sparse_operator(

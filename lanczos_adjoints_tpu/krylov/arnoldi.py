@@ -30,6 +30,17 @@ import jax.numpy as jnp
 from lanczos_adjoints_tpu.utils.precision import highest_precision
 
 
+def _safe_norm(w):
+    """2-norm whose backprop is zero (not NaN) at exactly-zero vectors.
+
+    Happy-breakdown truncation leaves exact zeros; ``sqrt`` has an
+    infinite derivative at 0 and ``0 * inf`` poisons the backprop oracle.
+    """
+    sq = jnp.dot(w.conj(), w)
+    alive = jnp.real(sq) > 0.0
+    return jnp.where(alive, jnp.sqrt(jnp.where(alive, sq, 1.0)), jnp.zeros_like(sq))
+
+
 def hessenberg(
     matvec,
     krylov_depth,
@@ -125,11 +136,14 @@ def hessenberg(
     return logged
 
 
-# The fused Arnoldi kernel holds the whole basis in VMEM and fully
-# unrolls K (static per-step projection shapes), so the dispatch is
-# bounded both by VMEM and by a depth cap that keeps compiles fast.
-_FUSED_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
-_FUSED_DEPTH_CAP = 48
+# The fused Arnoldi kernels hold the whole basis in VMEM (v5e: 128 MB).
+# Depths <= 48 run the fully-unrolled kernel (static per-step projection
+# shapes); deeper factorisations -- the SLQ-typical K = 90-250 of the
+# paper's walltime figure -- run the looped masked-projection kernel
+# (ops/pallas_arnoldi._arnoldi_kernel_looped), so the cap is VMEM plus
+# a generous depth bound, not compile time.
+_FUSED_VMEM_BUDGET_BYTES = 100 * 1024 * 1024
+_FUSED_DEPTH_CAP = 512
 
 
 def _hessenberg_dispatch_dia(
@@ -189,7 +203,11 @@ def _forward(matvec, krylov_depth, v, *params, reortho: str, unroll: int = 4):
     def body(idx, state):
         Q, H, w, norm = state
 
-        q = w / norm
+        # Happy-breakdown-safe normalisation: once an earlier step
+        # truncated (norm == 0), every subsequent column stays exactly
+        # zero instead of dividing 0/0.
+        alive = jnp.abs(norm) > 0.0
+        q = jnp.where(alive, w / jnp.where(alive, norm, 1.0), jnp.zeros_like(w))
         Q = Q.at[:, idx].set(q)
 
         w = matvec(q, *params)
@@ -199,9 +217,25 @@ def _forward(matvec, krylov_depth, v, *params, reortho: str, unroll: int = 4):
         coeffs = Q.conj().T @ w
         w = w - Q @ coeffs
         if reortho == "full":
+            norm_pass1 = _safe_norm(w)
             w = w - Q @ (Q.conj().T @ w)
-
-        norm = jnp.sqrt(jnp.dot(w.conj(), w))
+            norm = _safe_norm(w)
+            # DGKS/Kahan "twice is enough" breakdown detection: the first
+            # pass leaves true-residual + dot-product noise; the second
+            # pass removes only noise.  If it removed more than half the
+            # remaining norm, the residual IS noise (the Krylov space is
+            # numerically exhausted at this working precision) -- truncate
+            # with an exact zero so T decouples cleanly, instead of
+            # normalising rounding error into a garbage direction (the
+            # observed failure mode on multi-million-parameter GGNs:
+            # Ritz values at -2600 on an SPD operator, NaN logdets).
+            # Platform-adaptive by construction: no eps*sqrt(n) modelling
+            # of the accumulation noise floor is needed.
+            exhausted = jnp.abs(norm) <= 0.5 * jnp.abs(norm_pass1)
+            norm = jnp.where(exhausted, jnp.zeros_like(norm), norm)
+            w = jnp.where(exhausted, jnp.zeros_like(w), w)
+        else:
+            norm = _safe_norm(w)
 
         # The subdiagonal entry; for idx == k-1 the write at row k is
         # out of bounds and dropped, leaving the residual norm out of H.
@@ -299,7 +333,15 @@ def _adjoint(
         Lambda = Lambda.at[:, inp["idx"]].set(lam)
         xi = inp["Xi_row"] + (Sigma + Sigma.T)[inp["idx"], :] @ Q.T
         lam_next = xi - (inp["alpha"] * lam - at_lam) - inp["beta_upper_row"] @ Lambda.T
-        lam_next = lam_next / inp["beta_lower"]
+        # Happy-breakdown guard (matches the forward's truncation): a
+        # zero subdiagonal decouples the trailing block, whose forward
+        # columns are exactly zero and carry zero cotangents -- the
+        # correct adjoint vector there is zero, not xi / 0.
+        beta = inp["beta_lower"]
+        alive = jnp.abs(beta) > 0.0
+        lam_next = jnp.where(
+            alive, lam_next / jnp.where(alive, beta, 1.0), jnp.zeros_like(lam_next)
+        )
         return (lam_next, Lambda, Sigma, P, dparams), None
 
     Lambda0 = jnp.zeros_like(Q)

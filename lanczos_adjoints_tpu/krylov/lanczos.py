@@ -177,9 +177,16 @@ def _tridiag_via_arnoldi(matvec, krylov_depth, /, *, custom_vjp, dispatch_log=No
     def estimate(vec, *params):
         Q, H, res, _inv_norm = hess(vec, *params)
         T = 0.5 * (H + H.T)
-        res_norm = jnp.linalg.norm(res)
+        sq = res @ res
+        alive = sq > 0.0
+        res_norm = jnp.where(alive, jnp.sqrt(jnp.where(alive, sq, 1.0)), 0.0)
         decomposition = (Q.T, (jnp.diag(T), jnp.diag(T, 1)))
-        remainder = (res / res_norm, res_norm)
+        # Happy breakdown leaves an exactly-zero residual; normalise it
+        # safely (the zero vector, like the truncated basis columns).
+        res_unit = jnp.where(
+            alive, res / jnp.where(alive, res_norm, 1.0), jnp.zeros_like(res)
+        )
+        remainder = (res_unit, res_norm)
         return decomposition, remainder
 
     return estimate
@@ -245,8 +252,16 @@ def _forward(matvec, krylov_depth, vec, *params, unroll=8):
         ax = matvec(x, *params)
         alpha = x @ ax
         resid = ax - alpha * x - beta_prev * x_prev
-        beta = jnp.linalg.norm(resid)
-        x_next = resid / beta
+        # Safe norm: backprop through sqrt at an exactly-zero residual
+        # (post-breakdown) would be 0 * inf = NaN.
+        sq = resid @ resid
+        alive = sq > 0.0
+        beta = jnp.where(alive, jnp.sqrt(jnp.where(alive, sq, 1.0)), 0.0)
+        # Happy-breakdown guard: an exactly-exhausted Krylov space
+        # (beta == 0) truncates with zero columns instead of 0/0.
+        x_next = jnp.where(
+            alive, resid / jnp.where(alive, beta, 1.0), jnp.zeros_like(resid)
+        )
         return (x, x_next, beta), (x_next, alpha, beta)
 
     init = (jnp.zeros_like(x0), x0, jnp.zeros((), x0.dtype))
@@ -280,7 +295,11 @@ def _adjoint(
         xi, lam_next = carry
         x, x_next, alpha, beta, dx, dalpha, dbeta = inputs
 
-        xi = xi / beta
+        # Happy-breakdown guard mirroring the forward's truncation: a
+        # zero beta decouples the trailing block (zero columns, zero
+        # cotangents), so the adjoint vector there is zero, not xi / 0.
+        alive = beta > 0.0
+        xi = jnp.where(alive, xi / jnp.where(alive, beta, 1.0), jnp.zeros_like(xi))
         mu = dbeta - lam_next @ x + x_next @ xi
         nu = dalpha + x @ xi
         lam = -xi + mu * x_next + nu * x
@@ -335,12 +354,72 @@ def integrand_spd(
         )
         (_basis, (diags, offdiags)), _remainder = factorise(v0_flat, *parameters)
 
-        eigvals, eigvecs = _eigh_tridiag(diags, offdiags)
-        fx = jax.vmap(matfun)(eigvals)
-        first_components = eigvecs[0, :]
-        return scale**2 * jnp.dot(first_components, fx * first_components)
+        return scale**2 * _quadform_tridiag(matfun, diags, offdiags)
 
     return quadform
+
+
+def _quadform_tridiag(matfun, diags, offdiags):
+    """``e1^T f(T) e1`` with a degeneracy-safe derivative.
+
+    The value is smooth in ``T`` even when Ritz values collide, but
+    differentiating through ``eigh`` divides eigenvector cotangents by
+    eigenvalue gaps -- NaN on clustered/ghost Ritz values and on the
+    exactly-degenerate zero block a happy-breakdown truncation leaves.
+    The custom VJP below uses the Daleckii-Krein form of the Frechet
+    derivative instead:  with ``T = V diag(lam) V^T`` and ``u = V[0, :]``,
+
+        d/dT [e1^T f(T) e1] = V (Phi o (u u^T)) V^T,
+        Phi_ij = (f(lam_i) - f(lam_j)) / (lam_i - lam_j),  Phi_ii = f'(lam_i)
+
+    (``o`` = Hadamard), which is finite for any spectrum: the divided
+    difference is replaced by the midpoint derivative wherever the gap
+    is below sqrt(eps) * scale, exactly where the quotient loses all
+    significance to cancellation.  On well-separated spectra this equals
+    the autodiff-through-eigh gradient (tests pin the equivalence).
+    """
+    return _quadform_backend(matfun, diags, offdiags)
+
+
+def _quadform_value(matfun, diags, offdiags):
+    eigvals, eigvecs = _eigh_tridiag(diags, offdiags)
+    fx = jax.vmap(matfun)(eigvals)
+    u = eigvecs[0, :]
+    return jnp.dot(u, fx * u), (eigvals, eigvecs, fx)
+
+
+def _quadform_backend(matfun, diags, offdiags):
+    return _quadform_value(matfun, diags, offdiags)[0]
+
+
+def _quadform_fwd(matfun, diags, offdiags):
+    value, cache = _quadform_value(matfun, diags, offdiags)
+    return value, cache
+
+
+def _quadform_bwd(matfun, cache, cotangent):
+    eigvals, eigvecs, fx = cache
+    dfx = jax.vmap(jax.jacfwd(matfun))(eigvals)
+
+    gaps = eigvals[:, None] - eigvals[None, :]
+    eps = jnp.finfo(eigvals.dtype).eps
+    tiny = jnp.sqrt(eps) * (jnp.abs(eigvals[:, None]) + jnp.abs(eigvals[None, :]) + eps)
+    near = jnp.abs(gaps) <= tiny
+    phi = jnp.where(
+        near,
+        0.5 * (dfx[:, None] + dfx[None, :]),
+        (fx[:, None] - fx[None, :]) / jnp.where(near, 1.0, gaps),
+    )
+
+    u = eigvecs[0, :]
+    grad_T = eigvecs @ (phi * jnp.outer(u, u)) @ eigvecs.T
+    d_diags = cotangent * jnp.diag(grad_T)
+    d_offdiags = cotangent * (jnp.diag(grad_T, 1) + jnp.diag(grad_T, -1))
+    return d_diags, d_offdiags
+
+
+_quadform_backend = jax.custom_vjp(_quadform_backend, nondiff_argnums=(0,))
+_quadform_backend.defvjp(_quadform_fwd, _quadform_bwd)
 
 
 def integrand_spd_custom_vjp_reuse(
@@ -632,7 +711,9 @@ def _adjoint_block(
         xi, lam_next = carry
         x, x_next, alpha, beta, dx, dalpha, dbeta = inputs
 
-        xi = xi / beta
+        # Happy-breakdown guard, per probe column (see _adjoint).
+        alive = beta > 0.0
+        xi = jnp.where(alive, xi / jnp.where(alive, beta, 1.0), jnp.zeros_like(xi))
         mu = dbeta - jnp.sum(lam_next * x, axis=0) + jnp.sum(x_next * xi, axis=0)
         nu = dalpha + jnp.sum(x * xi, axis=0)
         lam = -xi + mu * x_next + nu * x

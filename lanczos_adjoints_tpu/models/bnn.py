@@ -212,12 +212,26 @@ def solver_logdet_slq(*, lanczos_rank, slq_num_samples, slq_num_batches):
     return logdet
 
 
-def solver_logdet_slq_implicit(*, lanczos_rank, slq_num_samples, slq_num_batches, N):
-    """SLQ logdet of an implicit (matvec-only) operator."""
+def solver_logdet_slq_implicit(
+    *, lanczos_rank, slq_num_samples, slq_num_batches, N, matfun=None
+):
+    """SLQ logdet of an implicit (matvec-only) operator.
+
+    Deliberate divergence from the reference (bnn_util.py:189-204, which
+    uses a plain ``jnp.log`` here): the default integrand is the clipped
+    log.  On numerically rank-deficient GGNs -- e.g. a saturated-softmax
+    MAP solution, where the damped GGN's Lanczos recurrence exhausts its
+    Krylov space below ``lanczos_rank`` -- the happy-breakdown truncation
+    (krylov/arnoldi.py) leaves an exactly-zero Ritz block whose quadrature
+    weight is zero, and ``0 * log(0)`` is NaN where the clipped
+    ``0 * log(1)`` is the correct 0.  Pass ``matfun=jnp.log`` for exact
+    reference semantics on full-rank operators.
+    """
     sampler = _sampler_rademacher(jnp.ones((N,), dtype=float), num=slq_num_samples)
+    matfun = slq_log_clipped() if matfun is None else matfun
 
     def logdet(Av: Callable, key, *args):
-        integrand = lanczos.integrand_spd(jnp.log, lanczos_rank, Av)
+        integrand = lanczos.integrand_spd(matfun, lanczos_rank, Av)
         return _slq_mean(integrand, sampler, key, slq_num_batches, *args)
 
     return logdet

@@ -99,13 +99,78 @@ def _arnoldi_kernel(
     res_ref[:] = w
 
 
+def _arnoldi_kernel_looped(
+    offsets, krylov_depth, reortho_full, vals_ref, v0_ref, q_ref, h_ref, res_ref
+):
+    """Deep-K variant: ``fori_loop`` over steps, masked projections.
+
+    The fully-unrolled kernel above emits O(K^2) code (step ``i``
+    projects against a static ``i + 1``-row slice), which is fast to
+    run but slow to COMPILE past K ~ 48.  Here each step projects
+    against the whole (K, n) basis buffer with rows ``> i`` masked to
+    zero coefficients -- uniform static shapes, one loop body to
+    compile, 2x the triangular arithmetic (VPU-bound, still far under
+    the XLA per-step loop overhead).  Basis rows are zero-initialised
+    so the masked-out garbage never sees NaN * 0.
+    """
+    k = krylov_depth
+    n_rows = v0_ref.shape[0]
+
+    def matvec(x):
+        acc = jnp.zeros_like(x)
+        for slot, d in enumerate(offsets):
+            acc = acc + vals_ref[slot] * _flat_roll(x, d, n_rows)
+        return acc
+
+    row_iota_k1 = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+
+    q_ref[...] = jnp.zeros_like(q_ref)
+
+    def project_masked(w, i):
+        qs = q_ref[...]
+        t = jnp.sum(qs * w[None], axis=2)  # (k, S)
+        c = jnp.sum(t, axis=1, keepdims=True)  # (k, 1)
+        c = jnp.where(row_iota_k1 <= i, c, 0.0)
+        w = w - jnp.sum(c[:, :, None] * qs, axis=0)
+        return w, c
+
+    def body(i, carry):
+        w, norm, h = carry
+        q = w / norm
+        q_ref[i] = q
+        w = matvec(q)
+        w, c = project_masked(w, i)
+        if reortho_full:
+            w, _c2 = project_masked(w, i)
+        norm_next = jnp.sqrt(jnp.sum(w * w))
+        sub = jnp.where((row_iota == i + 1) & (col_iota == i), norm_next, 0.0)
+        h = h + c * (col_iota == i) + sub
+        return w, norm_next, h
+
+    w0 = v0_ref[...]
+    norm0 = jnp.sqrt(jnp.sum(w0 * w0))
+    h0 = jnp.zeros((k, k), w0.dtype)
+    w, _norm, h = jax.lax.fori_loop(0, k, body, (w0, norm0, h0))
+    h_ref[...] = h
+    res_ref[:] = w
+
+
+# Past this depth the fully-unrolled kernel's O(K^2) code makes
+# compiles slow; the looped kernel takes over.
+_UNROLL_DEPTH_CAP = 48
+
+
 def hessenberg_dia_forward(
     dia, krylov_depth: int, *, reortho: str, interpret: bool = False
 ):
     """Build the fused forward ``(v0, vals) -> (Q, H, res, 1/|v0|)``.
 
     Output layout matches ``krylov.arnoldi.hessenberg``: ``Q`` is
-    ``(n, krylov_depth)``, ``H`` upper-Hessenberg ``(k, k)``.
+    ``(n, krylov_depth)``, ``H`` upper-Hessenberg ``(k, k)``.  Depths
+    up to ``_UNROLL_DEPTH_CAP`` run the fully-unrolled kernel; deeper
+    factorisations (SLQ-typical K = 90-250) run the looped variant.
     """
     n = dia.shape[0]
     if n % LANES != 0:
@@ -115,13 +180,20 @@ def hessenberg_dia_forward(
         msg = f"Parameter depth {krylov_depth} is outside the expected range"
         raise ValueError(msg)
     n_rows = n // LANES
-    kernel = functools.partial(
-        _arnoldi_kernel, dia.offsets, krylov_depth, reortho == "full"
-    )
+    looped = krylov_depth > _UNROLL_DEPTH_CAP
+    if looped:
+        kernel = functools.partial(
+            _arnoldi_kernel_looped, dia.offsets, krylov_depth, reortho == "full"
+        )
+    else:
+        kernel = functools.partial(
+            _arnoldi_kernel, dia.offsets, krylov_depth, reortho == "full"
+        )
 
     def forward(v0, vals):
         vals_tiled = vals.reshape(len(dia.offsets), n_rows, LANES)
         v0_tiled = v0.reshape(n_rows, LANES)
+        vmem_bytes = 4 * n * (krylov_depth + 2 * len(dia.offsets) + 8)
         q_tiled, h, res_tiled = pl.pallas_call(
             kernel,
             in_specs=[
@@ -138,6 +210,9 @@ def hessenberg_dia_forward(
                 jax.ShapeDtypeStruct((krylov_depth, krylov_depth), v0.dtype),
                 jax.ShapeDtypeStruct((n_rows, LANES), v0.dtype),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(2 * vmem_bytes + (1 << 20), 128 * 1024 * 1024)
+            ),
             interpret=interpret,
         )(vals_tiled, v0_tiled)
         Q = q_tiled.reshape(krylov_depth, n).T

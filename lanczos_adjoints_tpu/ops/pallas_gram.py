@@ -631,7 +631,14 @@ def gram_matvec_fused(
     charging every MLL gradient two extra O(N^2) streaming passes for
     discarded values would be waste.  Pass ``data_grads=True`` to get
     the true ``dx``/``dy`` (deep-kernel / inducing-point use), computed
-    by two more streamed moment passes (``_data_grad``).
+    by two more streamed moment passes (``_data_grad``).  Accuracy
+    caveat: the moment formulation evaluates ``x_i * w_ii - w_ii * x_i``
+    on the diagonal as two separate accumulations rather than an exact
+    cancellation; for ``matern12`` the kernel derivative behaves like
+    ``-0.5/sqrt(eps)`` at sq -> 0, so data gradients of near-diagonal
+    entries (x very close to or equal to y) carry amplified rounding
+    error for that family -- rbf/matern32 are tested symmetric-exact
+    (tests/test_ops/test_pallas_gram.py::test_fused_data_gradients).
 
     ``contract_precision``: MXU precision of the multi-vector
     contraction ("highest" = exact f32; "default" = bf16 inputs with

@@ -405,8 +405,9 @@ def ell_matvec_fn(ell: ELLData):
     gathers run at HBM roofline (~855 GB/s measured) -- and select the
     lane with a one-hot contraction that XLA fuses into the gather
     consumer (pure VPU compare+FMA, no scatter, no element gather).
-    Traffic is 512 B/entry instead of one serialised element: ~13x
-    faster at width 8 (RESULTS.md SpMV table).
+    Traffic is 512 B/entry instead of one serialised element; measured
+    speedup over the element-gather floor lives in the RESULTS.md SpMV
+    table (``ell`` vs ``ell_gather`` rows, scattered/random case).
     """
     cols = ell.cols
     window = cols // 128  # (n_rows, width) v-window row ids
@@ -453,6 +454,21 @@ class HYBData(NamedTuple):
 
 
 def hyb_pack(mat: CSRMatrix, *, heavy_factor: int = 4) -> HYBData:
+    # The light_mask <-> ELL slot correspondence below assumes CSR
+    # entries are (row, col)-sorted (csr_from_coo guarantees it); a
+    # hand-built CSRMatrix with unsorted within-row indices would
+    # silently permute values against ell.perm, so refuse it.
+    if np.any(np.diff(mat.indices) <= 0):
+        starts = mat.indptr[:-1]
+        boundary = np.zeros(mat.nnz, dtype=bool)
+        boundary[starts[starts < mat.nnz]] = True
+        unsorted_inside_row = (np.diff(mat.indices) <= 0) & ~boundary[1:]
+        if np.any(unsorted_inside_row):
+            msg = (
+                "hyb_pack requires column indices sorted within each row "
+                "(duplicates included); build the matrix via csr_from_coo"
+            )
+            raise ValueError(msg)
     counts = np.diff(mat.indptr)
     threshold = heavy_factor * max(8, int(np.median(counts)))
     heavy = np.flatnonzero(counts > threshold)

@@ -167,7 +167,13 @@ def _pivot_body(element: Callable, n: int, rank: int, *params):
     def body(i, carry, *, tol):
         L, perm, matrix_perm, residual_diag, success = carry
 
-        k = jnp.argmax(residual_diag)
+        # Greedy pivot over the ACTIVE trailing block only: processed
+        # slots 0..i-1 can retain a stale positive residual from
+        # rounding, and re-selecting one would swap a finished column
+        # back into play (benign under the tol guard, but the pivot
+        # order would be ill-defined in the exhausted regime).
+        active = all_idx >= i
+        k = jnp.argmax(jnp.where(active, residual_diag, -jnp.inf))
 
         matrix_perm = _swap(matrix_perm, i, k)
         L = _swap_rows(L, i, k)

@@ -98,3 +98,32 @@ def test_dispatch_falls_back_beyond_depth_cap(_fused_on_cpu, monkeypatch):
     est = arnoldi.hessenberg(matvec, 8, reortho="none")
     Q, H, r, c = est(jnp.ones((256,), jnp.float32), vals)
     assert H.shape == (8, 8)
+
+
+def test_tridiag_full_reortho_dispatches_at_slq_depth(_fused_on_cpu, monkeypatch):
+    """K=90 (SLQ-typical, past the unrolled cap) hits the LOOPED fused kernel.
+
+    Round-3 gap: the fused Arnoldi capped at K<=48, so
+    ``tridiag(reortho='full')`` at the paper's K=90-250 walltime points
+    fell back to the XLA loop.  The looped masked-projection kernel
+    lifts the cap; this pins the dispatch AND value agreement.
+    """
+    dispatch_log = []
+    mat = _laplacian_1d(512)
+    matvec, vals = sparse.sparse_operator(mat, format="dia")
+    v0 = jax.random.normal(jax.random.PRNGKey(2), (512,), jnp.float32)
+    estimate = lanczos.tridiag(
+        matvec, 90, reortho="full", dispatch_log=dispatch_log
+    )
+    (xs, (al, be)), _rem = estimate(v0, vals)
+    assert "hessenberg:pallas_dia_fused" in dispatch_log, dispatch_log
+    assert al.shape == (90,)
+    assert bool(jnp.all(jnp.isfinite(xs)))
+
+    plain_mv = sparse.dia_matvec_fn(sparse.dia_pack(mat))
+    del plain_mv.dia_data  # untagged: generic path
+    generic = lanczos.tridiag(plain_mv, 90, reortho="full")
+    (xs_g, (al_g, be_g)), _rem_g = generic(v0, vals)
+    # 1-D Laplacian: distinct spectrum, no chaos crossover -- elementwise.
+    assert jnp.allclose(al, al_g, atol=1e-3), float(jnp.max(jnp.abs(al - al_g)))
+    assert jnp.allclose(be, be_g, atol=1e-3)

@@ -1,0 +1,197 @@
+"""Krylov-exhaustion (happy-breakdown) robustness.
+
+Regression tests for the failure mode observed on multi-million-parameter
+GGN calibration (reference imagenet_callibration.py:30-42 scale class):
+on a numerically rank-deficient SPD operator ``A = U diag(lam) U^T + alpha I``
+with rank(U) < krylov_depth, the Lanczos/Arnoldi recurrence exhausts its
+Krylov space.  Without guards this divides by ~zero, normalises rounding
+noise into garbage directions (observed Ritz values at -2600 on an SPD
+operator) and poisons both the SLQ value (``log`` of negative Ritz
+values) and the gradient (``eigh``'s VJP divides by the gaps of the
+degenerate zero Ritz block).
+
+The guarded pipeline must produce:
+  * a cleanly truncated decomposition (exact zero offdiagonal + zero
+    trailing columns, DGKS twice-is-enough detection, arnoldi.py),
+  * an SLQ logdet value matching the dense ``slogdet`` oracle,
+  * finite gradients from BOTH the closed-form adjoint (custom_vjp=True)
+    and the backprop oracle (custom_vjp=False), agreeing with each other
+    (the Daleckii-Krein quadform VJP, lanczos.py::_quadform_tridiag).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanczos_adjoints_tpu.krylov import lanczos
+from lanczos_adjoints_tpu.models import bnn
+
+
+def _low_rank_spd(key, n, rank, dtype=jnp.float32):
+    """U diag(lam) U^T with lam in [0.5, 2.5]; exact rank `rank`."""
+    ku, kl = jax.random.split(key)
+    u, _ = jnp.linalg.qr(jax.random.normal(ku, (n, rank), dtype=dtype))
+    lam = 0.5 + 2.0 * jax.random.uniform(kl, (rank,), dtype=dtype)
+    return (u * lam) @ u.T, u, lam
+
+
+def test_tridiag_full_reortho_truncates_cleanly():
+    """Past exhaustion the decomposition must truncate, not run away."""
+    n, rank, depth = 64, 6, 20
+    mat64, _, _ = _low_rank_spd(jax.random.PRNGKey(0), n, rank)
+    alpha = 0.75
+    mat = jnp.asarray(mat64, jnp.float32) + alpha * jnp.eye(n, dtype=jnp.float32)
+
+    factorise = lanczos.tridiag(lambda v: mat @ v, depth, reortho="full")
+    v0 = jax.random.normal(jax.random.PRNGKey(1), (n,), dtype=jnp.float32)
+    (basis, (diags, offdiags)), (res, res_norm) = factorise(v0 / jnp.linalg.norm(v0))
+
+    assert np.all(np.isfinite(np.asarray(basis)))
+    assert np.all(np.isfinite(np.asarray(diags)))
+    # The Krylov space has dimension rank+1 (range of U plus the alpha*I
+    # direction); beyond it the recurrence must have truncated exactly.
+    assert np.asarray(offdiags)[rank + 1 :].max(initial=0.0) == 0.0
+    # Truncated trailing columns are exactly zero (not garbage).
+    norms = np.linalg.norm(np.asarray(basis), axis=1)
+    assert norms[rank + 2 :].max(initial=0.0) == 0.0
+    # The live Ritz values stay inside the operator's spectral range.
+    t_mat = np.diag(np.asarray(diags)) + np.diag(np.asarray(offdiags), 1)
+    t_mat = t_mat + np.diag(np.asarray(offdiags), -1)
+    live = rank + 2
+    eigs = np.linalg.eigvalsh(t_mat[:live, :live])
+    assert eigs.min() >= alpha - 1e-3
+    assert eigs.max() <= alpha + 2.5 + 1e-3
+
+
+@pytest.mark.parametrize("use_adjoint", [True, False])
+def test_slq_logdet_rank_deficient_matches_dense(use_adjoint):
+    """SLQ value and gradient stay finite and correct past exhaustion."""
+    n, rank, depth = 48, 5, 16
+    mat64, u, lam = _low_rank_spd(jax.random.PRNGKey(2), n, rank)
+
+    def logdet_slq(log_alpha, key):
+        alpha = jnp.exp(log_alpha)
+
+        def matvec(v):
+            mat = jnp.asarray(mat64, jnp.float32)
+            return mat @ v + alpha * v
+
+        integrand = lanczos.integrand_spd(
+            bnn.slq_log_clipped(),
+            depth,
+            matvec,
+            use_adjoints_for_tridiag=use_adjoint,
+        )
+        keys = jax.random.split(key, 64)
+        probes = jax.vmap(
+            lambda k: jax.random.rademacher(k, (n,), dtype=jnp.float32)
+        )(keys)
+        return jnp.mean(jax.vmap(integrand)(probes))
+
+    key = jax.random.PRNGKey(3)
+    log_alpha = jnp.asarray(0.1)
+    value, grad = jax.value_and_grad(logdet_slq)(log_alpha, key)
+    assert np.isfinite(float(value)), value
+    assert np.isfinite(float(grad)), grad
+
+    alpha = float(jnp.exp(log_alpha))
+    dense = np.asarray(mat64) + alpha * np.eye(n)
+    _, expected = np.linalg.slogdet(dense)
+    # 64 Rademacher probes on a 48-dim operator: Monte-Carlo tolerance.
+    np.testing.assert_allclose(float(value), expected, rtol=0.08)
+    # d/dlog_alpha logdet = alpha * trace((A + alpha I)^{-1})
+    expected_grad = alpha * np.trace(np.linalg.inv(dense))
+    np.testing.assert_allclose(float(grad), expected_grad, rtol=0.08)
+
+
+def test_adjoint_matches_backprop_past_exhaustion():
+    """Closed-form adjoint == backprop oracle in the truncated regime."""
+    n, rank, depth = 40, 4, 14
+    mat64, _, _ = _low_rank_spd(jax.random.PRNGKey(4), n, rank)
+    base = jnp.asarray(mat64, jnp.float32)
+
+    def quad(theta, use_adjoint):
+        def matvec(v, t):
+            return base @ v + jnp.exp(t) * v
+
+        integrand = lanczos.integrand_spd(
+            bnn.slq_log_clipped(), depth, matvec,
+            use_adjoints_for_tridiag=use_adjoint,
+        )
+        v0 = jax.random.normal(jax.random.PRNGKey(5), (n,), dtype=jnp.float32)
+        return integrand(v0, theta)
+
+    theta = jnp.asarray(-0.3)
+    v_adj, g_adj = jax.value_and_grad(lambda t: quad(t, True))(theta)
+    v_bp, g_bp = jax.value_and_grad(lambda t: quad(t, False))(theta)
+    assert np.isfinite(float(g_adj)) and np.isfinite(float(g_bp))
+    np.testing.assert_allclose(float(v_adj), float(v_bp), rtol=1e-5)
+    np.testing.assert_allclose(float(g_adj), float(g_bp), rtol=1e-3, atol=1e-5)
+
+
+def test_quadform_gradient_matches_eigh_autodiff_when_separated():
+    """On well-separated spectra the DK VJP equals autodiff-through-eigh."""
+    key = jax.random.PRNGKey(6)
+    kd, ko = jax.random.split(key)
+    diags = 1.0 + jax.random.uniform(kd, (12,), dtype=jnp.float32) * 3.0
+    offdiags = 0.1 + 0.3 * jax.random.uniform(ko, (11,), dtype=jnp.float32)
+
+    def via_dk(d, e):
+        return lanczos._quadform_tridiag(jnp.log, d, e)
+
+    def via_eigh(d, e):
+        eigvals, eigvecs = lanczos._eigh_tridiag(d, e)
+        u = eigvecs[0, :]
+        return jnp.dot(u, jnp.log(eigvals) * u)
+
+    np.testing.assert_allclose(via_dk(diags, offdiags), via_eigh(diags, offdiags))
+    g_dk = jax.grad(via_dk, argnums=(0, 1))(diags, offdiags)
+    g_ad = jax.grad(via_eigh, argnums=(0, 1))(diags, offdiags)
+    # f32 (x64 off in tests): the two formulations round differently;
+    # compare to f32 resolution relative to the gradient scale.
+    for ours, oracle in zip(g_dk, g_ad):
+        scale = np.abs(np.asarray(oracle)).max()
+        np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5 * scale)
+
+
+def test_quadform_gradient_finite_on_degenerate_spectrum():
+    """Exactly-duplicate Ritz values: eigh autodiff NaNs, the DK VJP not."""
+    diags = jnp.asarray([2.0, 1.0, 1.0, 0.0, 0.0], dtype=jnp.float32)
+    offdiags = jnp.asarray([0.3, 0.0, 0.0, 0.0], dtype=jnp.float32)
+
+    def log_clipped(x):
+        eps = jnp.finfo(x.dtype).eps
+        return jnp.log(jnp.where(x < eps, 1.0, x))
+
+    value, grads = jax.value_and_grad(
+        lambda d, e: lanczos._quadform_tridiag(log_clipped, d, e), argnums=(0, 1)
+    )(diags, offdiags)
+    assert np.isfinite(float(value))
+    assert np.all(np.isfinite(np.asarray(grads[0])))
+    assert np.all(np.isfinite(np.asarray(grads[1])))
+
+
+def test_calibration_loss_finite_on_saturated_network():
+    """End-to-end: the BNN calibration pipeline past Krylov exhaustion.
+
+    A hand-built rank-deficient damped GGN stands in for the saturated
+    3.7M-parameter MAP solution; rank 16 >> effective rank 5 forces the
+    exhaustion the unguarded pipeline NaN'd on.
+    """
+    n, rank, depth = 48, 5, 16
+    mat64, _, _ = _low_rank_spd(jax.random.PRNGKey(7), n, rank)
+    base = jnp.asarray(mat64, jnp.float32)
+
+    logdet_fun = bnn.solver_logdet_slq_implicit(
+        lanczos_rank=depth, slq_num_samples=8, slq_num_batches=1, N=n
+    )
+
+    def loss(log_alpha, key):
+        alpha = jnp.exp(log_alpha)
+        matvec = lambda v: base @ v + alpha * v
+        return logdet_fun(matvec, key)
+
+    value, grad = jax.value_and_grad(loss)(jnp.asarray(0.0), jax.random.PRNGKey(8))
+    assert np.isfinite(float(value))
+    assert np.isfinite(float(grad))

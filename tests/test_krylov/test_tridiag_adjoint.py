@@ -35,10 +35,15 @@ def test_adjoint_matches_backprop(krylov_depth):
 
     out_ref, vjp_ref = jax.vjp(ref, v, A)
     out_ours, vjp_ours = jax.vjp(ours, v, A)
+    # Same forward math, but the two paths compile under different
+    # transforms (primal vs linearised), so XLA fuses the per-step
+    # division differently; without reorthogonalisation those few-ulp
+    # differences amplify with depth in f32 -- scale like the gradient
+    # tolerance below.
     assert jnp.allclose(
         jax.flatten_util.ravel_pytree(out_ref)[0],
         jax.flatten_util.ravel_pytree(out_ours)[0],
-        atol=1e-6,
+        atol=1e-6 * (1 + krylov_depth),
     )
 
     cotangent = jax.tree_util.tree_map(

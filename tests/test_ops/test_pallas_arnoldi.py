@@ -33,7 +33,8 @@ def _laplacian_dia(n_grid):
 
 
 @pytest.mark.parametrize("reortho", ["full", "none"])
-@pytest.mark.parametrize("krylov_depth", [1, 5, 12])
+# 64 > _UNROLL_DEPTH_CAP exercises the looped masked-projection kernel.
+@pytest.mark.parametrize("krylov_depth", [1, 5, 12, 64])
 def test_fused_forward_matches_generic(reortho, krylov_depth):
     dia, vals = _laplacian_dia(16)  # n = 256, multiple of 128
     n = dia.shape[0]
@@ -51,10 +52,27 @@ def test_fused_forward_matches_generic(reortho, krylov_depth):
     # Without re-orthogonalisation the recurrence is chaotic in the
     # rounding order, so the two f32 implementations drift ~1e-4 in H by
     # depth 12; the factorisation invariant below is the sharp check.
+    # Past depth ~40 on this operator the near-degenerate Laplacian
+    # eigenvalue pairs make even the re-orthogonalised directions
+    # rounding-chaotic BETWEEN implementations (each stays orthonormal
+    # and satisfies the invariant to machine precision; measured: the
+    # first 32 columns agree to 7e-7, later ones rotate), so the deep-K
+    # case compares the stable prefix elementwise and relies on the
+    # invariants for the rest.
     tol = 1e-4 if reortho == "full" else 1e-3
-    assert jnp.allclose(Qf, Qg, atol=tol)
-    assert jnp.allclose(Hf, Hg, atol=tol)
-    assert jnp.allclose(resf, resg, atol=tol)
+    if krylov_depth <= 32:
+        stable_cols = krylov_depth
+    else:
+        # reortho=none loses the stable prefix faster (no projection
+        # pulls the drift back); measured crossover ~16 columns.
+        stable_cols = 32 if reortho == "full" else 12
+    assert jnp.allclose(Qf[:, :stable_cols], Qg[:, :stable_cols], atol=tol)
+    assert jnp.allclose(
+        Hf[: stable_cols + 1, :stable_cols], Hg[: stable_cols + 1, :stable_cols],
+        atol=tol,
+    )
+    if krylov_depth <= 32:
+        assert jnp.allclose(resf, resg, atol=tol)
     assert jnp.allclose(cf, cg)
 
     # Invariants: A Q = Q H + res e_k^T to machine precision,

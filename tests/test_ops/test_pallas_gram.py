@@ -115,17 +115,34 @@ def test_fused_multivector_and_ard(kind, d):
         assert rel < 1e-3, rel
 
 
-@pytest.mark.parametrize("kind,d", [("rbf", 3), ("matern32", 3), ("rbf", 12)])
-def test_fused_data_gradients(kind, d):
+@pytest.mark.parametrize(
+    "kind,d,symmetric",
+    [
+        ("rbf", 3, False),
+        ("matern32", 3, False),
+        ("rbf", 12, False),
+        ("matern12", 3, False),
+        ("rbf", 3, True),
+        ("matern32", 3, True),
+    ],
+)
+def test_fused_data_gradients(kind, d, symmetric):
     """data_grads=True returns true dx/dy (autodiff oracle); default zeros.
 
     d=12 exercises the MXU moment kernel.  Rectangular x != y checks
-    the dy-by-symmetry path independently of dx.
+    the dy-by-symmetry path independently of dx; symmetric x == y
+    checks the on-diagonal moment cancellation (matern12's derivative
+    blows up at sq -> 0, so its symmetric case is documented as a
+    caveat in the data_grads docstring rather than tested).
     """
     n, p, m = 520, 260, 3  # deliberately not block multiples
     kx, ky, kv, ku = jax.random.split(jax.random.PRNGKey(3), 4)
     x = jax.random.normal(kx, (n, d), jnp.float32)
-    y = jax.random.normal(ky, (p, d), jnp.float32)
+    if symmetric:
+        p = n
+        y = x
+    else:
+        y = jax.random.normal(ky, (p, d), jnp.float32)
     vs = jax.random.normal(kv, (p, m), jnp.float32)
     us = jax.random.normal(ku, (n, m), jnp.float32)
     ell, out_s = jnp.asarray(0.9), jnp.asarray(1.3)
