@@ -75,9 +75,10 @@ if __name__ == "__main__":
         "--slq_num_batches",
         type=int,
         default=1,
-        help="sequential probe batches (lax.map): the vmapped probe "
-        "width times the Lanczos basis (rank+1, n_params) must fit "
-        "HBM at large models",
+        help="sequential probe batches (must divide slq_num_samples): "
+        "a pure memory knob -- the total probe count is fixed and the "
+        "peak working set is one batch's (probes/batch, rank+1, "
+        "n_params) Lanczos basis, both passes (remat per batch)",
     )
     parser.add_argument("--learning_rate", type=float, default=1e-1)
     parser.add_argument(

@@ -42,16 +42,26 @@ def _halo_rows(halo: int) -> int:
     return -(-rows // _SUBLANES) * _SUBLANES
 
 
-def _shifted_chunk(xpad_ref, base: int, shift: int, chunk: int):
-    """rows [base, base+chunk) of xpad flat-shifted by ``shift`` >= 0."""
+def _shifted_chunk(xpad_ref, base: int, shift: int, chunk: int, one_roll: bool = True):
+    """rows [base, base+chunk) of xpad flat-shifted by ``shift`` >= 0.
+
+    ``one_roll=True`` reads ``chunk + 1`` rows once and lane-rotates the
+    whole block (the two needed row windows are that block's first and
+    last ``chunk`` rows), halving the roll work of the two-read variant.
+    """
     q, r = divmod(shift, LANES)
-    a = xpad_ref[pl.ds(base + q, chunk), :]
     if r == 0:
-        return a
-    b = xpad_ref[pl.ds(base + q + 1, chunk), :]
-    ar = pltpu.roll(a, LANES - r, axis=1)
-    br = pltpu.roll(b, LANES - r, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        return xpad_ref[pl.ds(base + q, chunk), :]
+    if one_roll:
+        c = xpad_ref[pl.ds(base + q, chunk + 1), :]
+        cr = pltpu.roll(c, LANES - r, axis=1)
+        ar, br = cr[:chunk], cr[1:]
+    else:
+        a = xpad_ref[pl.ds(base + q, chunk), :]
+        b = xpad_ref[pl.ds(base + q + 1, chunk), :]
+        ar = pltpu.roll(a, LANES - r, axis=1)
+        br = pltpu.roll(b, LANES - r, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, ar.shape, 1)
     return jnp.where(lane + r < LANES, ar, br)
 
 
@@ -71,13 +81,13 @@ def _fill_halo(x_ref, xpad_ref, hr):
         xpad_ref[hr + rows :] = x_ref[0:hr]
 
 
-def _matvec_kernel(offsets, hr, chunk, x_ref, vals_ref, out_ref, xpad_ref):
+def _matvec_kernel(offsets, hr, chunk, one_roll, x_ref, vals_ref, out_ref, xpad_ref):
     _fill_halo(x_ref, xpad_ref, hr)
     hp = hr * LANES
     base = pl.program_id(0) * chunk
     acc = jnp.zeros_like(out_ref)
     for k, d in enumerate(offsets):
-        acc = acc + vals_ref[k] * _shifted_chunk(xpad_ref, base, hp + d, chunk)
+        acc = acc + vals_ref[k] * _shifted_chunk(xpad_ref, base, hp + d, chunk, one_roll)
     out_ref[...] = acc
 
 
@@ -98,11 +108,18 @@ def _pick_chunk(rows: int, target: int = 1024) -> int:
     return best
 
 
-def dia_matvec_pallas(dia, *, interpret: bool = False):
+def dia_matvec_pallas(
+    dia, *, interpret: bool = False, chunk_target: int = 4096, one_roll: bool = True
+):
     """Differentiable single-pass matvec ``matvec(v, vals) -> A @ v``.
 
     ``vals`` is the packed ``(num_diags, n)`` array from
     ``ops.sparse.dia_values``.  Requires ``n % 1024 == 0``.
+
+    ``chunk_target``/``one_roll`` are tuning knobs (rows per grid step,
+    i.e. the streamed value-block size, and the shifted-read variant);
+    the defaults are the measured-fastest configuration at n = 1M
+    (RESULTS.md roofline section).
     """
     offsets = tuple(int(d) for d in dia.offsets)
     n = dia.shape[0]
@@ -115,13 +132,15 @@ def dia_matvec_pallas(dia, *, interpret: bool = False):
     if rows < hr:
         msg = f"halo rows {hr} exceed vector rows {rows}"
         raise ValueError(msg)
-    chunk = _pick_chunk(rows)
+    chunk = _pick_chunk(rows, chunk_target)
     num_diags = len(offsets)
 
     neg_offsets = tuple(-d for d in offsets)
 
     def _run_matvec(signed_offsets, v, vals):
-        kernel = functools.partial(_matvec_kernel, signed_offsets, hr, chunk)
+        kernel = functools.partial(
+            _matvec_kernel, signed_offsets, hr, chunk, one_roll
+        )
         out = pl.pallas_call(
             kernel,
             grid=(rows // chunk,),

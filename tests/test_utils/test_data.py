@@ -83,3 +83,59 @@ def test_splits():
     )
     assert len(tr_s[0]) == 80
     assert not jnp.allclose(tr_s[1], tr[1])
+
+
+def test_uci_synthetic_gp500k_shapes_and_determinism():
+    """The N=400k-train scale-demo loader: exact shapes, fixed seed."""
+    inputs, targets = uci.uci_synthetic_gp500k(normalize=True)
+    assert inputs.shape == (500_000, 8)
+    assert targets.shape == (500_000,)
+    # The driver's 0.8 train fraction must give exactly the reference's
+    # N_train = 400,000 (ref scripts/gaussian_processes/_train_gp.sh).
+    assert int(0.8 * len(inputs)) == 400_000
+    inputs2, targets2 = uci.uci_synthetic_gp500k(normalize=True)
+    assert np.array_equal(inputs[:100], inputs2[:100])
+    assert np.array_equal(targets[:100], targets2[:100])
+    assert abs(float(targets.mean())) < 1e-3
+
+
+def test_numpy_collate_under_real_torch_dataloader():
+    """Drive the actual torch DataLoader machinery the image pipelines use.
+
+    torchvision (and hence the CIFAR/ImageNet datasets) is absent in this
+    environment, but torch itself is present -- so the DataLoader +
+    ``numpy_collate_fn`` + ``set_seed`` path shared by every image loader
+    (get_cifar10 / imagenet1k_loaders / get_imagenet_test_loader) is
+    executed here against a synthetic map-style dataset.
+    """
+    torch = pytest.importorskip("torch")
+    from lanczos_adjoints_tpu.utils import data as data_util
+
+    class _Synthetic(torch.utils.data.Dataset):
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, idx):
+            img = torch.full((3, 8, 8), float(idx))
+            label = np.eye(4, dtype=np.float32)[idx % 4]
+            return img, label
+
+    data_util.set_seed(0)
+    loader = torch.utils.data.DataLoader(
+        _Synthetic(), batch_size=4, shuffle=True,
+        collate_fn=data_util.numpy_collate_fn,
+    )
+    batches = list(loader)
+    assert len(batches) == 3
+    batch = batches[0]
+    assert isinstance(batch["image"], np.ndarray)
+    assert batch["image"].shape == (4, 3, 8, 8)
+    assert batch["label"].shape == (4, 4)
+    # shuffle=True under set_seed is deterministic across constructions
+    data_util.set_seed(0)
+    loader2 = torch.utils.data.DataLoader(
+        _Synthetic(), batch_size=4, shuffle=True,
+        collate_fn=data_util.numpy_collate_fn,
+    )
+    again = next(iter(loader2))
+    assert np.array_equal(batch["image"], again["image"])
