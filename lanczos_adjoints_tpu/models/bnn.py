@@ -20,6 +20,7 @@ the batch); ``ggn_vp_running`` is the sequential low-memory form.
 """
 
 import functools
+import warnings
 from typing import Callable
 
 import jax
@@ -203,7 +204,20 @@ def _split_batches(num_samples: int, num_batches: int) -> int:
             f"slq_num_batches={num_batches}"
         )
         raise ValueError(msg)
+    global _WARNED_BATCH_SEMANTICS
+    if num_batches > 1 and not _WARNED_BATCH_SEMANTICS:
+        _WARNED_BATCH_SEMANTICS = True
+        warnings.warn(
+            "slq_num_batches now DIVIDES slq_num_samples (total probes "
+            f"fixed at {num_samples}, {num_samples // num_batches} per "
+            "batch); it previously multiplied them. Configs tuned against "
+            "the old semantics draw fewer probes and higher variance.",
+            stacklevel=3,
+        )
     return num_samples // num_batches
+
+
+_WARNED_BATCH_SEMANTICS = False
 
 
 def _slq_mean(integrand, sampler, key, num_batches, *args):
@@ -264,6 +278,34 @@ def solver_logdet_slq_implicit(
         return _slq_mean(integrand, sampler, key, slq_num_batches, *args)
 
     return logdet
+
+
+def solver_clipped_mass_slq(
+    *, lanczos_rank, slq_num_samples, slq_num_batches, N, eps=None
+):
+    """Diagnostic companion to ``solver_logdet_slq_implicit``'s clipping.
+
+    Hutchinson-SLQ estimate of ``trace(1[A < eps])`` -- the number of
+    spectral directions whose quadrature mass ``slq_log_clipped`` maps
+    to ``log(1) = 0``.  Near-zero on a genuinely full-rank operator; a
+    clearly positive value flags that the default clipped log is
+    silently biasing the logdet (e.g. damping ``alpha`` below f32 eps)
+    and the run should switch to ``matfun=jnp.log`` or re-scale.
+    Same estimator plumbing as the logdet solver, so it can be evaluated
+    on the identical operator/key for an apples-to-apples check.
+    """
+    per_batch = _split_batches(slq_num_samples, slq_num_batches)
+    sampler = _sampler_rademacher(jnp.ones((N,), dtype=float), num=per_batch)
+
+    def indicator(x):
+        cut = jnp.finfo(x.dtype).eps if eps is None else eps
+        return jnp.where(x < cut, 1.0, 0.0)
+
+    def clipped_mass(Av: Callable, key, *args):
+        integrand = lanczos.integrand_spd(indicator, lanczos_rank, Av)
+        return _slq_mean(integrand, sampler, key, slq_num_batches, *args)
+
+    return clipped_mass
 
 
 # ---------------------------------------------------------------------------

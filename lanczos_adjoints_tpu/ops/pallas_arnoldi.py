@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lanczos_adjoints_tpu.krylov import arnoldi as _arnoldi
-from lanczos_adjoints_tpu.ops.pallas_lanczos import _flat_roll
+from lanczos_adjoints_tpu.ops.pallas_lanczos import _flat_roll, _guarded_div
 from lanczos_adjoints_tpu.ops.sparse import dia_matvec_fn
 
 LANES = 128
@@ -77,13 +77,23 @@ def _arnoldi_kernel(
     w = v0_ref[:]
     norm = jnp.sqrt(jnp.sum(w * w))
     for i in range(k):
-        q = w / norm
+        # Exhaustion-guarded normalisation + (reortho=full) DGKS
+        # twice-is-enough truncation, matching krylov.arnoldi._forward:
+        # once the Krylov space is numerically exhausted, columns stay
+        # exactly zero instead of normalising rounding noise.
+        q = _guarded_div(w, norm)
         q_ref[i] = q
         w = matvec(q)
         w, c = project(w, i)
         if reortho_full:
+            norm_pass1 = jnp.sqrt(jnp.sum(w * w))
             w, _c2 = project(w, i)
-        norm = jnp.sqrt(jnp.sum(w * w))
+            norm = jnp.sqrt(jnp.sum(w * w))
+            keep = jnp.where(norm > 0.5 * norm_pass1, 1.0, 0.0)
+            norm = norm * keep
+            w = w * keep
+        else:
+            norm = jnp.sqrt(jnp.sum(w * w))
         # Hessenberg column i: first-pass coefficients, then the
         # subdiagonal entry (dropped at i == k - 1, matching
         # krylov.arnoldi._forward's out-of-bounds write).
@@ -138,13 +148,20 @@ def _arnoldi_kernel_looped(
 
     def body(i, carry):
         w, norm, h = carry
-        q = w / norm
+        # Same exhaustion guards as the unrolled kernel / XLA forward.
+        q = _guarded_div(w, norm)
         q_ref[i] = q
         w = matvec(q)
         w, c = project_masked(w, i)
         if reortho_full:
+            norm_pass1 = jnp.sqrt(jnp.sum(w * w))
             w, _c2 = project_masked(w, i)
-        norm_next = jnp.sqrt(jnp.sum(w * w))
+            norm_next = jnp.sqrt(jnp.sum(w * w))
+            keep = jnp.where(norm_next > 0.5 * norm_pass1, 1.0, 0.0)
+            norm_next = norm_next * keep
+            w = w * keep
+        else:
+            norm_next = jnp.sqrt(jnp.sum(w * w))
         sub = jnp.where((row_iota == i + 1) & (col_iota == i), norm_next, 0.0)
         h = h + c * (col_iota == i) + sub
         return w, norm_next, h
@@ -210,8 +227,14 @@ def hessenberg_dia_forward(
                 jax.ShapeDtypeStruct((krylov_depth, krylov_depth), v0.dtype),
                 jax.ShapeDtypeStruct((n_rows, LANES), v0.dtype),
             ],
+            # Only ever RAISE the scoped-vmem limit above Mosaic's
+            # default: a small problem must not inherit a limit below
+            # what the compiler would have granted anyway.
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=min(2 * vmem_bytes + (1 << 20), 128 * 1024 * 1024)
+                vmem_limit_bytes=min(
+                    max(2 * vmem_bytes + (1 << 20), 64 * 1024 * 1024),
+                    128 * 1024 * 1024,
+                )
             ),
             interpret=interpret,
         )(vals_tiled, v0_tiled)

@@ -42,12 +42,26 @@ def _flat_roll(x2d, shift, n_rows):
     return jnp.where(lane + r < LANES, ar, br)
 
 
+def _guarded_div(vec, norm):
+    """``vec / norm`` with the Krylov-exhaustion guard of the XLA path.
+
+    Matches ``krylov.lanczos._forward`` / ``krylov.arnoldi._forward``
+    (``alive = norm > 0``): once a step truncates to an exactly-zero
+    residual, every subsequent iterate stays exactly zero instead of
+    producing 0/0 NaNs.  Scalar select + scalar multiply only -- safe
+    under Mosaic's layout rules.
+    """
+    keep = jnp.where(norm > 0.0, 1.0, 0.0).astype(vec.dtype)
+    safe = jnp.where(norm > 0.0, norm, 1.0)
+    return (vec / safe) * keep
+
+
 def _lanczos_kernel(offsets, krylov_depth, vals_ref, v0_ref, x_ref, coef_ref):
     n_rows = v0_ref.shape[0]
 
     v0 = v0_ref[:]
     norm0 = jnp.sqrt(jnp.sum(v0 * v0))
-    x0 = v0 / norm0
+    x0 = _guarded_div(v0, norm0)
     x_ref[0] = x0
 
     def matvec(x):
@@ -62,7 +76,7 @@ def _lanczos_kernel(offsets, krylov_depth, vals_ref, v0_ref, x_ref, coef_ref):
         alpha = jnp.sum(x * ax)
         resid = ax - alpha * x - beta * x_prev
         beta_next = jnp.sqrt(jnp.sum(resid * resid))
-        x_next = resid / beta_next
+        x_next = _guarded_div(resid, beta_next)
         x_ref[i + 1] = x_next
         coef_ref[0, i] = alpha
         coef_ref[1, i] = beta_next
@@ -118,7 +132,9 @@ def _lanczos_adjoint_kernel(
         dalpha = dcoef_ref[0, i]
         dbeta = dcoef_ref[1, i]
 
-        xi = xi / beta
+        # Guarded like krylov.lanczos._adjoint: a zero beta decouples the
+        # trailing (truncated) block whose adjoint vector is exactly zero.
+        xi = _guarded_div(xi, beta)
         mu = dbeta - jnp.sum(lam_next * x) + jnp.sum(x_next * xi)
         nu = dalpha + jnp.sum(x * xi)
         lam = -xi + mu * x_next + nu * x
@@ -261,7 +277,7 @@ def _lanczos_stream_kernel(
     def _():
         v0 = v0_ref[:]
         norm0 = jnp.sqrt(jnp.sum(v0 * v0))
-        x0 = v0 / norm0
+        x0 = _guarded_div(v0, norm0)
         x_buf[:] = x0
         xprev_buf[:] = jnp.zeros_like(x0)
         scal_ref[0] = 0.0  # beta carry
@@ -275,7 +291,7 @@ def _lanczos_stream_kernel(
         alpha = jnp.sum(x * ax)
         resid = ax - alpha * x - scal_ref[0] * xprev_buf[:]
         beta_next = jnp.sqrt(jnp.sum(resid * resid))
-        x_next = resid / beta_next
+        x_next = _guarded_div(resid, beta_next)
         x_out_ref[0] = x_next
         xprev_buf[:] = x
         x_buf[:] = x_next
@@ -318,7 +334,7 @@ def _lanczos_stream_adjoint_kernel(
         dalpha = dcoef_ref[0, i]
         dbeta = dcoef_ref[1, i]
 
-        xi = xi_buf[:] / beta
+        xi = _guarded_div(xi_buf[:], beta)
         mu = dbeta - jnp.sum(lam_next * x) + jnp.sum(x_next * xi)
         nu = dalpha + jnp.sum(x * xi)
         lam = -xi + mu * x_next + nu * x

@@ -25,6 +25,7 @@ def slope_time(
     feedback_scale: float = 1e-12,
     min_window: float = 5e-3,
     max_reps: int = 4096,
+    budget_s: float = 120.0,
     return_info: bool = False,
 ):
     """On-device seconds per evaluation of ``fn(*args)``.
@@ -37,10 +38,22 @@ def slope_time(
     exceeds ``min_window`` seconds -- below that the relay's per-call
     jitter dominates and the slope can even come out negative.
 
-    ``return_info=True`` additionally returns
-    ``{"resolved": bool, "window_s": float, "reps": int}`` so benchmark
-    scripts can refuse to persist sub-window (unreliable, possibly
-    negative) readings instead of silently committing them.
+    ``budget_s`` bounds the total wall clock of the measurement.  Heavy
+    graphs must NOT auto-escalate: iterating a multi-second program
+    thousands of times inside one XLA executable is exactly the
+    observed TPU-worker-crash mode (3.7M-param rank-50 GGN step,
+    round-4 phase1b: 3/3 worker crashes).  The iteration count is
+    clamped to what fits the remaining budget, escalation stops when
+    the next step would not fit, and if even a 2-rep slope is
+    unaffordable the function falls back to a single-call wall-clock
+    reading (dispatch overhead included) flagged ``resolved: False``
+    rather than crashing the chip.
+
+    ``return_info=True`` additionally returns ``{"resolved": bool,
+    "window_s": float, "reps": int, "budget_exhausted": bool,
+    "fallback_wallclock": bool}`` so benchmark scripts can refuse to
+    persist sub-window (unreliable, possibly negative) readings instead
+    of silently committing them.
     """
     import jax
     import jax.numpy as jnp
@@ -67,6 +80,18 @@ def slope_time(
 
     fn_one = jax.jit(functools.partial(repeated, reps=1))
     np.asarray(fn_one(first, *rest))  # compile + execute once
+    t_start = time.perf_counter()
+    np.asarray(fn_one(first, *rest))
+    t_single = max(time.perf_counter() - t_start, 1e-9)
+
+    def remaining():
+        return budget_s - (time.perf_counter() - t_start)
+
+    def affordable_reps():
+        # measure(reps) runs (outer + 1) many-calls and outer one-calls;
+        # a many-call costs ~reps * t_single.  Factor 2 slack for the
+        # (cached, unpredictable) fn_many compile.
+        return int(remaining() / (2.0 * (outer + 1) * t_single))
 
     def measure(reps):
         fn_many = jax.jit(functools.partial(repeated, reps=reps))
@@ -82,16 +107,32 @@ def slope_time(
         window = float(np.median(t_many)) - float(np.median(t_one))
         return window / (reps - 1), window
 
-    per_iter, window = measure(reps)
-    while window < min_window and reps < max_reps:
-        reps = min(max_reps, reps * 8)
+    budget_exhausted = False
+    if affordable_reps() < 2:
+        # Even the smallest slope measurement would blow the budget:
+        # report the single-call wall clock instead of crashing the chip.
+        per_iter, window = t_single, 0.0
+        reps = 1
+        budget_exhausted = True
+        fallback = True
+    else:
+        fallback = False
+        reps = max(2, min(reps, affordable_reps()))
         per_iter, window = measure(reps)
+        while window < min_window and reps < max_reps:
+            next_reps = min(max_reps, reps * 8, max(affordable_reps(), 0))
+            if next_reps <= reps:
+                budget_exhausted = True
+                break
+            reps = next_reps
+            per_iter, window = measure(reps)
     if window < min_window:
         import warnings
 
+        why = "budget exhausted" if budget_exhausted else "slope unreliable"
         msg = (
             f"measurement window {window * 1e3:.2f} ms stayed below "
-            f"{min_window * 1e3:.0f} ms at reps={reps}; slope unreliable"
+            f"{min_window * 1e3:.0f} ms at reps={reps}; {why}"
         )
         warnings.warn(msg, stacklevel=2)
     if return_info:
@@ -99,6 +140,8 @@ def slope_time(
             "resolved": bool(window >= min_window),
             "window_s": float(window),
             "reps": int(reps),
+            "budget_exhausted": budget_exhausted,
+            "fallback_wallclock": fallback,
         }
         return per_iter, info
     return per_iter

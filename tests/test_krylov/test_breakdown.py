@@ -19,6 +19,8 @@ The guarded pipeline must produce:
     (the Daleckii-Krein quadform VJP, lanczos.py::_quadform_tridiag).
 """
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -236,3 +238,135 @@ def test_slq_batches_divide_probe_total():
         bnn.solver_logdet_slq_implicit(
             lanczos_rank=rank, slq_num_samples=10, slq_num_batches=3, N=n
         )
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas kernels (interpret mode): the TPU auto-dispatch paths must
+# truncate on exhaustion exactly like the guarded XLA forward, so results
+# do not differ between the fused and XLA paths for the same call.
+# ---------------------------------------------------------------------------
+
+from lanczos_adjoints_tpu.krylov import arnoldi  # noqa: E402
+from lanczos_adjoints_tpu.ops import (  # noqa: E402
+    pallas_arnoldi,
+    pallas_lanczos,
+    sparse,
+)
+
+_INTERPRET = jax.default_backend() == "cpu"
+
+
+def _diag_dia(diag_vals):
+    n = len(diag_vals)
+    idx = np.arange(n)
+    mat = sparse.csr_from_coo(
+        idx, idx, np.asarray(diag_vals, np.float32), shape=(n, n)
+    )
+    dia = sparse.dia_pack(mat)
+    return dia, sparse.dia_values(dia, mat.data)
+
+
+# 64 > _UNROLL_DEPTH_CAP also covers the looped masked-projection kernel.
+@pytest.mark.parametrize("depth", [8, 64])
+def test_fused_arnoldi_truncates_on_exhaustion(depth):
+    """Krylov-dim-2 exhaustion: DGKS must truncate inside the kernel.
+
+    ``v0`` supported on two coordinates of a diagonal operator with two
+    distinct eigenvalues spans an exactly invariant 2-D subspace, so all
+    rounding noise past step 2 lies IN the basis span and the DGKS
+    second pass removes it deterministically (a dense random ``v0``
+    leaves mostly-orthogonal noise and makes the ratio test knife-edge).
+    The fused reortho=full kernels must zero-truncate (alive-masked
+    divide + twice-is-enough detection) instead of emitting 0/0 NaNs or
+    garbage Ritz directions, and must agree with the guarded XLA forward.
+    """
+    n = 256
+    dia, vals = _diag_dia(np.where(np.arange(n) % 2 == 0, 1.0, 2.0))
+    v0 = jnp.zeros(n).at[0].set(0.6).at[1].set(0.8)
+
+    fused = pallas_arnoldi.hessenberg_dia_fused(
+        dia, depth, reortho="full", interpret=_INTERPRET
+    )
+    Qf, Hf, resf, cf = fused(v0, vals)
+    assert np.all(np.isfinite(np.asarray(Qf)))
+    assert np.all(np.isfinite(np.asarray(Hf)))
+    # Exhausted directions are exact zeros, not normalised noise.
+    assert float(jnp.abs(Qf[:, 2:]).max()) == 0.0
+    assert float(jnp.abs(resf).max()) == 0.0
+
+    generic = arnoldi.hessenberg(sparse.dia_matvec_fn(dia), depth, reortho="full")
+    Qg, Hg, resg, _cg = generic(v0, vals)
+    assert jnp.allclose(Qf, Qg, atol=1e-5)
+    assert jnp.allclose(Hf, Hg, atol=1e-5)
+
+    def loss(v, p):
+        Q, H, r, c = fused(v, p)
+        return jnp.sum(Q**2) + jnp.sum(H**2) + jnp.sum(r**2) + c
+
+    gv, gp = jax.grad(loss, argnums=(0, 1))(v0, vals)
+    assert np.all(np.isfinite(np.asarray(gv)))
+    assert np.all(np.isfinite(np.asarray(gp)))
+
+
+def test_fused_lanczos_guarded_on_exact_breakdown():
+    """A = c*I with a one-hot v0 exhausts at step 0, residual EXACTLY zero.
+
+    (One-hot so the normalisation and alpha = x^T A x are exact in f32;
+    the cancellation ``Ax - alpha x`` then leaves a true zero vector.)
+    The fused three-term kernels used to divide 0/0 there; the guarded
+    divide must leave exact zeros (matching krylov.tridiag's alive mask)
+    and the fused adjoint must return finite gradients.
+    """
+    n, depth = 256, 6
+    dia, vals = _diag_dia(1.5 * np.ones(n))
+    v0 = jnp.zeros(n).at[7].set(1.0)
+
+    fused = pallas_lanczos.tridiag_dia_fused(dia, depth, interpret=_INTERPRET)
+    (X, (alphas, betas)), (x_res, beta_res) = fused(v0, vals)
+    assert np.all(np.isfinite(np.asarray(X)))
+    assert np.isclose(float(alphas[0]), 1.5, atol=1e-6)
+    assert float(jnp.abs(betas).max()) == 0.0
+    assert float(beta_res) == 0.0
+    assert float(jnp.abs(X[1:]).max()) == 0.0
+
+    ref = lanczos.tridiag(sparse.dia_matvec_fn(dia), depth, reortho="none")
+    (Xr, (ar, br)), (xrr, brr) = ref(v0, vals)
+    assert jnp.allclose(X, Xr, atol=1e-6)
+    assert jnp.allclose(alphas, ar, atol=1e-6)
+    assert jnp.allclose(betas, br, atol=1e-6)
+
+    def loss(v, p):
+        (Xs, (a, b)), (xr, brm) = fused(v, p)
+        return jnp.sum(a) + jnp.sum(b) + jnp.sum(Xs[0] ** 2) + jnp.sum(xr * brm)
+
+    gv, gp = jax.grad(loss, argnums=(0, 1))(v0, vals)
+    assert np.all(np.isfinite(np.asarray(gv)))
+    assert np.all(np.isfinite(np.asarray(gp)))
+
+
+def test_clipped_mass_diagnostic_flags_rank_deficiency():
+    """solver_clipped_mass_slq makes silent clipping observable."""
+    n, rank = 48, 8
+    mat64, _, _ = _low_rank_spd(jax.random.PRNGKey(5), n, rank)
+    deficient = jnp.asarray(mat64, jnp.float32)  # rank 8 of 48
+    full = deficient + 0.5 * jnp.eye(n, dtype=jnp.float32)
+
+    diag = bnn.solver_clipped_mass_slq(
+        lanczos_rank=16, slq_num_samples=64, slq_num_batches=1, N=n
+    )
+    key = jax.random.PRNGKey(6)
+    mass_deficient = float(diag(lambda v: deficient @ v, key))
+    mass_full = float(diag(lambda v: full @ v, key))
+    # ~n - rank = 40 null directions vs none; loose Monte-Carlo bands.
+    assert mass_deficient > 20.0
+    assert abs(mass_full) < 2.0
+
+
+def test_split_batches_warns_once_on_semantics_change():
+    bnn._WARNED_BATCH_SEMANTICS = False
+    with pytest.warns(UserWarning, match="DIVIDES"):
+        bnn._split_batches(8, 2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        bnn._split_batches(8, 2)  # one-time: silent now
+

@@ -24,3 +24,44 @@ def test_wallclock_time_positive():
 
     t = timing.wallclock_time(fn, jnp.ones((64,)))
     assert t >= 0.0
+
+
+def test_slope_time_budget_fallback_never_escalates():
+    """A zero budget must fall back to one wall-clock call, not escalate.
+
+    Regression for the TPU-worker-crash mode: auto-escalation used to
+    iterate heavy graphs up to 4096x inside one executable regardless
+    of their cost.
+    """
+    calls = []
+
+    def fn(x):
+        calls.append(1)
+        return x * 2.0
+
+    t, info = timing.slope_time(
+        fn, jnp.ones((8,)), budget_s=0.0, return_info=True
+    )
+    assert t > 0.0
+    assert info["fallback_wallclock"] is True
+    assert info["budget_exhausted"] is True
+    assert info["resolved"] is False
+    assert info["reps"] == 1
+    # Traced at most twice (reps=1 program only); never a 4096-rep trace.
+    assert len(calls) <= 2
+
+
+def test_slope_time_budget_stops_escalation():
+    """With an unreachable window the loop must stop on budget, not crash."""
+    t, info = timing.slope_time(
+        lambda x: x + 1.0,
+        jnp.ones((8,)),
+        reps=2,
+        outer=2,
+        min_window=1e9,  # never reachable
+        budget_s=1.0,
+        return_info=True,
+    )
+    assert info["resolved"] is False
+    assert info["budget_exhausted"] is True
+    assert info["reps"] < 4096
