@@ -405,9 +405,11 @@ def ell_matvec_fn(ell: ELLData):
     gathers run at HBM roofline (~855 GB/s measured) -- and select the
     lane with a one-hot contraction that XLA fuses into the gather
     consumer (pure VPU compare+FMA, no scatter, no element gather).
-    Traffic is 512 B/entry instead of one serialised element; measured
-    speedup over the element-gather floor lives in the RESULTS.md SpMV
-    table (``ell`` vs ``ell_gather`` rows, scattered/random case).
+    Traffic is 512 B/entry instead of one serialised element; the
+    measured numbers for the scattered/random case (this path vs the
+    element-gather floor) live in
+    ``results/benchmarks/spmv_formats/benchmark/formats.json`` and the
+    RESULTS.md SpMV table built from it.
     """
     cols = ell.cols
     window = cols // 128  # (n_rows, width) v-window row ids
