@@ -103,7 +103,7 @@ def measure_dia_local(args):
     rows_table = {}
     for p in MEASURE_GRID:
         rows = args.num_rows // p
-        rows -= rows % 128  # fused-kernel lane alignment
+        rows -= rows % 1024  # fused kernel needs n % (8*128) == 0
         idx = np.arange(rows)
         offsets = [-args.bandwidth, -1, 0, 1, args.bandwidth]
         rr, cc, vv = [], [], []
@@ -138,6 +138,21 @@ def fit_affine_cost(local_table):
     efficiency structurally <= 1:
     eff = (a + b n) / (P a + b n + P t_comm) <= 1 for a, t_comm >= 0.
     """
+    # Resolved slope readings only: sub-window rows are garbage (can be
+    # negative) and an affine fit through them reports a meaningless
+    # throughput term.  The tiny-rows DIA matvecs (<10 us) routinely
+    # fail to clear the 5 ms window within the rep budget.
+    resolved = {r: v for r, v in local_table.items() if v.get("resolved", True)}
+    if len(resolved) < 3:
+        return {
+            "overhead_s": None,
+            "per_row_s": None,
+            "max_rel_fit_error": None,
+            "median_rel_fit_error": None,
+            "points": int(len(resolved)),
+            "unresolved": True,
+        }
+    local_table = resolved
     rows = np.array(sorted(local_table))
     t = np.array([local_table[r]["time_s"] for r in rows])
     # RELATIVE least squares (weight 1/t): an unweighted fit is dominated
@@ -172,6 +187,8 @@ def gram_model(local_table, n, scale=1.0):
     relatively larger communication = the pessimistic band edge).
     """
     fit = fit_affine_cost(local_table)
+    if fit.get("unresolved"):
+        return None, fit
     cost = lambda rows: scale * (fit["overhead_s"] + fit["per_row_s"] * rows)
     t1 = cost(n)
     out = []
@@ -209,6 +226,8 @@ def dia_model(local_table, n, bandwidth, scale=1.0):
       hidden (data dependency), so they floor both variants.
     """
     fit = fit_affine_cost(local_table)
+    if fit.get("unresolved"):
+        return None, fit
     cost = lambda rows: scale * (fit["overhead_s"] + fit["per_row_s"] * rows)
     t1 = cost(n)
     halo_bytes = 2 * bandwidth * 4  # per direction
@@ -398,6 +417,8 @@ def main(args):
         # (1 -+ max_rel_fit_error).  The pessimistic edge (local cost low,
         # communication relatively high) is the honest boundary to quote.
         def _regime_band(model_fn, fit, key, *fn_args):
+            if fit.get("unresolved"):
+                return {"unresolved": True, "points_resolved": fit["points"]}
             e = min(fit["max_rel_fit_error"], 0.9)
             lo, _ = model_fn(*fn_args, scale=1.0 - e)
             hi, _ = model_fn(*fn_args, scale=1.0 + e)
@@ -438,12 +459,17 @@ def main(args):
             "gram_flagship": gm,
             "dia_lanczos": dm,
             "efficiency_80_regime": {
-                "gram_flagship": regime_80(gm, "predicted_efficiency"),
-                "dia_lanczos_sequential": regime_80(
-                    dm, "predicted_efficiency_sequential"
+                "gram_flagship": (
+                    regime_80(gm, "predicted_efficiency")
+                    if gm else {"unresolved": True}
                 ),
-                "dia_lanczos_overlapped": regime_80(
-                    dm, "predicted_efficiency_overlapped"
+                "dia_lanczos_sequential": (
+                    regime_80(dm, "predicted_efficiency_sequential")
+                    if dm else {"unresolved": True}
+                ),
+                "dia_lanczos_overlapped": (
+                    regime_80(dm, "predicted_efficiency_overlapped")
+                    if dm else {"unresolved": True}
                 ),
                 "uncertainty_band": {
                     "gram_flagship": gram_band,
@@ -451,11 +477,11 @@ def main(args):
                 },
             },
         }
-        for row in gm:
+        for row in gm or []:
             print(
                 f"gram P={row['devices']}: eff {row['predicted_efficiency']:.3f}"
             )
-        for row in dm:
+        for row in dm or []:
             print(
                 f"dia P={row['devices']}: seq {row['predicted_efficiency_sequential']:.3f} "
                 f"ovl {row['predicted_efficiency_overlapped']:.3f}"

@@ -9,8 +9,9 @@ percentage: the mandatory HBM traffic of one DIA matvec is
 
 and the *attainable* ceiling for exactly this traffic pattern is
 measured here by a do-nothing variant of the same pipelined kernel
-(same block specs, same grid, sum of value blocks, no x reads, no
-rolls).  The sweep then measures the real kernel across (chunk_target,
+(same block specs, same grid, same bytes moved: streamed value blocks
++ streamed x blocks + output writes, but no halo/roll arithmetic).
+The sweep then measures the real kernel across (chunk_target,
 one_roll) tunings; the artifact records all of it.
 """
 
@@ -47,23 +48,36 @@ def _laplacian_2d(n_side):
     )
 
 
-def _sol_kernel(num_diags, vals_ref, out_ref):
-    acc = vals_ref[0]
-    for k in range(1, num_diags):
+def _sol_kernel(num_diags, x_ref, vals_ref, out_ref):
+    acc = x_ref[...]
+    for k in range(num_diags):
         acc = acc + vals_ref[k]
     out_ref[...] = acc
 
 
 def speed_of_light(n, num_diags, chunk):
-    """Same streamed-value traffic, zero shift work: the attainable ceiling."""
+    """Identical HBM traffic to the real kernel, zero shift work.
+
+    Streams the value blocks AND the x blocks, writes the output --
+    exactly the mandatory (num_diags + 2) * n * 4 bytes of one DIA
+    matvec -- but replaces the halo/roll arithmetic with a plain add.
+    ``x`` is the first (slope_time-chained) argument so the rep loop
+    has a true inter-iteration data dependency; a values-first variant
+    lets XLA hoist the whole kernel out of the loop (measured: negative
+    windows at 300+ reps).
+    """
     rows = n // LANES
     kernel = functools.partial(_sol_kernel, num_diags)
+    vmem_est = 4 * LANES * chunk * 2 * (num_diags + 2)
 
-    def run(vals):
+    def run(v, vals):
         out = pl.pallas_call(
             kernel,
             grid=(rows // chunk,),
             in_specs=[
+                pl.BlockSpec(
+                    (chunk, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
                 pl.BlockSpec(
                     (num_diags, chunk, LANES), lambda i: (0, i, 0),
                     memory_space=pltpu.VMEM,
@@ -75,8 +89,12 @@ def speed_of_light(n, num_diags, chunk):
             out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=min(
+                    max(2 * vmem_est + (1 << 20), 64 * 1024 * 1024),
+                    128 * 1024 * 1024,
+                ),
             ),
-        )(vals.reshape(num_diags, rows, LANES))
+        )(v.reshape(rows, LANES), vals.reshape(num_diags, rows, LANES))
         return out.reshape(-1)
 
     return run
@@ -95,8 +113,7 @@ if __name__ == "__main__":
     num_diags = len(dia.offsets)
     v = jnp.ones((n,), jnp.float32)
 
-    bytes_matvec = (num_diags + 2) * n * 4
-    bytes_stream_only = (num_diags + 1) * n * 4  # ceiling probe traffic
+    bytes_matvec = (num_diags + 2) * n * 4  # probe traffic == kernel traffic
     print(
         f"n={n} diags={num_diags} traffic/matvec={bytes_matvec / 1e6:.1f} MB "
         f"({bytes_matvec / mat.nnz:.2f} B/nnz)",
@@ -118,8 +135,8 @@ if __name__ == "__main__":
         if (n // LANES) % chunk:
             continue
         run = speed_of_light(n, num_diags, chunk)
-        t, info = timing.slope_time(run, values, reps=16, return_info=True)
-        gbs = bytes_stream_only / t / 1e9
+        t, info = timing.slope_time(run, v, values, reps=16, return_info=True)
+        gbs = bytes_matvec / t / 1e9
         print(f"ceiling chunk={chunk}: {t * 1e6:.1f} us  {gbs:.0f} GB/s "
               f"(resolved={info['resolved']})", flush=True)
         artifact["ceiling"][str(chunk)] = {
@@ -150,19 +167,36 @@ if __name__ == "__main__":
                 }
             )
 
-    best = min(artifact["sweep"], key=lambda r: r["time_s"])
-    ceil_best = min(artifact["ceiling"].values(), key=lambda r: r["time_s"])
+    # Only resolved slope readings count: sub-window rows can be garbage
+    # (the very defect the round-2 formats.json carried).
+    kernel_ok = [r for r in artifact["sweep"] if r["resolved"]]
+    ceil_ok = [r for r in artifact["ceiling"].values() if r["resolved"]]
+    best = min(kernel_ok, key=lambda r: r["time_s"])
+    ceil_best = min(ceil_ok, key=lambda r: r["time_s"])
     artifact["best"] = best
-    artifact["pct_of_attainable"] = ceil_best["time_s"] / best["time_s"]
+    artifact["pct_of_attainable"] = min(ceil_best["time_s"] / best["time_s"], 1.0)
+    # Physical floor check: 29.4 MB through v5e HBM (819 GB/s spec) takes
+    # >= 35.9 us.  Readings below that floor mean the rep loop is
+    # re-reading the (VMEM-sized, 20 MB) value array from VMEM rather
+    # than HBM -- i.e. the kernel is not HBM-bound at this size.  Record
+    # the diagnosis instead of publishing an impossible bandwidth.
+    HBM_SPEC_GBS = 819.0
+    floor_s = bytes_matvec / (HBM_SPEC_GBS * 1e9)
+    artifact["hbm_spec_gb_per_s"] = HBM_SPEC_GBS
+    artifact["hbm_floor_s"] = floor_s
+    artifact["vmem_resident_regime"] = bool(best["time_s"] < floor_s)
     print(
         f"best kernel {best['time_s'] * 1e6:.1f} us vs attainable "
         f"{ceil_best['time_s'] * 1e6:.1f} us -> "
-        f"{100 * artifact['pct_of_attainable']:.0f}% of the measured ceiling",
+        f"{100 * artifact['pct_of_attainable']:.0f}% of the measured ceiling "
+        f"(HBM-spec floor {floor_s * 1e6:.1f} us; "
+        f"vmem_resident_regime={artifact['vmem_resident_regime']})",
         flush=True,
     )
 
     directory = exp_util.matching_directory(__file__, "results/")
     os.makedirs(directory, exist_ok=True)
-    with open(f"{directory}dia_roofline.json", "w") as fp:
+    fname = f"{directory}dia_roofline_n{args.n_side}.json"
+    with open(fname, "w") as fp:
         json.dump(artifact, fp, indent=2)
-    print(f"wrote {directory}dia_roofline.json", flush=True)
+    print(f"wrote {fname}", flush=True)

@@ -109,13 +109,17 @@ if __name__ == "__main__":
     print(f"matrix {args.matrix}: n={mat.shape[0]} nnz={mat.nnz} fmt={info.format}")
     v0 = jnp.ones((mat.shape[0],), jnp.float32)
 
+    dispatch_log = []
+
     def factorise_fn(depth, custom_vjp):
         if args.which == "lanczos":
             return krylov.tridiag(
-                matvec, depth, reortho=args.reortho, custom_vjp=custom_vjp
+                matvec, depth, reortho=args.reortho, custom_vjp=custom_vjp,
+                dispatch_log=dispatch_log,
             )
         return krylov.hessenberg(
-            matvec, depth, reortho=args.reortho, custom_vjp=custom_vjp
+            matvec, depth, reortho=args.reortho, custom_vjp=custom_vjp,
+            dispatch_log=dispatch_log,
         )
 
     times = {"fwdpass": [], "custom": [], "autodiff": []}
@@ -153,4 +157,9 @@ if __name__ == "__main__":
     for name, vals_ in times.items():
         np.save(f"{directory}{tag}_times_{name}.npy", np.asarray(vals_))
     np.save(f"{directory}{tag}_depths.npy", np.asarray(args.depths))
+    # Trace-time record of which code path each compilation actually ran
+    # (asserts the fused-vs-XLA claim the RESULTS.md table makes).
+    events = sorted(set(dispatch_log))
+    print("dispatch events:", events)
+    np.save(f"{directory}{tag}_dispatch.npy", np.asarray(events))
     print("saved to", directory)

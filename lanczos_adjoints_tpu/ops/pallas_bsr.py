@@ -88,6 +88,16 @@ def bsr_spmv_pallas(bsr: BSRData, *, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct((nbr, tr), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
+                # Only ever RAISE the scoped-vmem limit above the Mosaic
+                # default (16 MiB on some terminals): double-buffered
+                # tile + gathered-v blocks per grid step.
+                vmem_limit_bytes=min(
+                    max(
+                        4 * chunk * w * (tr + 1) * BSR_TILE * 4 + (1 << 20),
+                        64 * 1024 * 1024,
+                    ),
+                    128 * 1024 * 1024,
+                ),
             ),
             interpret=interpret,
         )(tiles, vg)

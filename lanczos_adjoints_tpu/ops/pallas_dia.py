@@ -101,6 +101,12 @@ def _dvals_kernel(offsets, hr, chunk, x_ref, u_ref, dvals_ref, xpad_ref):
 
 
 def _pick_chunk(rows: int, target: int = 1024) -> int:
+    # Keep at least two grid steps: with grid=1 the pipeline cannot
+    # double-buffer the streamed value blocks behind compute and the
+    # kernel collapses to serial HBM reads (measured 17 GB/s vs 600+ at
+    # n=524288, round-5 scaling sweep).
+    if rows >= 2 * _SUBLANES:
+        target = min(target, rows // 2)
     best = _SUBLANES
     for c in range(_SUBLANES, min(rows, target) + 1, _SUBLANES):
         if rows % c == 0:
@@ -135,6 +141,23 @@ def dia_matvec_pallas(
     chunk = _pick_chunk(rows, chunk_target)
     num_diags = len(offsets)
 
+    # Scoped-vmem budget: the resident x copy + halo scratch + the
+    # double-buffered streamed value/output blocks.  Only ever RAISE
+    # the limit above Mosaic's default (some terminals default to
+    # 16 MiB, below what chunk_target=4096 at n=1M needs).
+    vmem_est = 4 * LANES * (
+        (rows + 2 * hr)  # xpad scratch
+        + rows  # x input
+        + 2 * (num_diags + 2) * chunk  # double-buffered vals + out blocks
+    )
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=min(
+            max(2 * vmem_est + (1 << 20), 64 * 1024 * 1024),
+            128 * 1024 * 1024,
+        ),
+    )
+
     neg_offsets = tuple(-d for d in offsets)
 
     def _run_matvec(signed_offsets, v, vals):
@@ -157,9 +180,7 @@ def dia_matvec_pallas(
             ),
             out_shape=jax.ShapeDtypeStruct((rows, LANES), v.dtype),
             scratch_shapes=[pltpu.VMEM((rows + 2 * hr, LANES), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
+            compiler_params=compiler_params,
             interpret=interpret,
         )(v.reshape(rows, LANES), vals.reshape(num_diags, rows, LANES))
         return out.reshape(-1)
@@ -182,9 +203,7 @@ def dia_matvec_pallas(
             ),
             out_shape=jax.ShapeDtypeStruct((num_diags, rows, LANES), v.dtype),
             scratch_shapes=[pltpu.VMEM((rows + 2 * hr, LANES), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
+            compiler_params=compiler_params,
             interpret=interpret,
         )(v.reshape(rows, LANES), u.reshape(rows, LANES))
         return dvals.reshape(num_diags, n)

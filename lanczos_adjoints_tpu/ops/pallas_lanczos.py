@@ -176,6 +176,10 @@ def lanczos_forward_dia(dia, krylov_depth: int, *, interpret: bool = False):
     offsets = dia.offsets
 
     kernel = functools.partial(_lanczos_kernel, offsets, krylov_depth)
+    # Whole working set is VMEM-resident; only ever RAISE the scoped
+    # limit above Mosaic's default (some terminals default to 16 MiB,
+    # far below a K=32, n=262k basis).
+    vmem_bytes = 4 * n * (krylov_depth + len(offsets) + 4)
 
     def forward(v0, vals):
         vals_tiled = vals.reshape(len(offsets), n_rows, LANES)
@@ -195,6 +199,12 @@ def lanczos_forward_dia(dia, krylov_depth: int, *, interpret: bool = False):
                 jax.ShapeDtypeStruct((krylov_depth + 1, n_rows, LANES), v0.dtype),
                 jax.ShapeDtypeStruct((2, krylov_depth), v0.dtype),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    max(2 * vmem_bytes + (1 << 20), 64 * 1024 * 1024),
+                    128 * 1024 * 1024,
+                )
+            ),
             interpret=interpret,
         )(vals_tiled, v0_tiled)
 
@@ -213,6 +223,9 @@ def lanczos_adjoint_dia(dia, krylov_depth: int, *, interpret: bool = False):
     n_rows = n // LANES
     offsets = dia.offsets
     kernel = functools.partial(_lanczos_adjoint_kernel, offsets, krylov_depth)
+    # Two resident bases (xs, dxs) + values + gradients; only-raise clamp
+    # as in the forward.
+    vmem_bytes = 4 * n * (2 * krylov_depth + 2 * len(offsets) + 6)
 
     def adjoint(vals, xs, alphas, betas, inv_norm, dxs, dalphas, dbetas):
         vals_tiled = vals.reshape(len(offsets), n_rows, LANES)
@@ -240,6 +253,12 @@ def lanczos_adjoint_dia(dia, krylov_depth: int, *, interpret: bool = False):
                 jax.ShapeDtypeStruct((n_rows, LANES), vals.dtype),
                 jax.ShapeDtypeStruct((len(offsets), n_rows, LANES), vals.dtype),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    max(2 * vmem_bytes + (1 << 20), 64 * 1024 * 1024),
+                    128 * 1024 * 1024,
+                )
+            ),
             interpret=interpret,
         )(vals_tiled, xs_tiled, coef, dxs_tiled, dcoef)
         return dv_tiled.reshape(n), dvals_tiled.reshape(len(offsets), n)

@@ -87,11 +87,22 @@ def slope_time(
     def remaining():
         return budget_s - (time.perf_counter() - t_start)
 
-    def affordable_reps():
-        # measure(reps) runs (outer + 1) many-calls and outer one-calls;
-        # a many-call costs ~reps * t_single.  Factor 2 slack for the
-        # (cached, unpredictable) fn_many compile.
-        return int(remaining() / (2.0 * (outer + 1) * t_single))
+    # Cost model for one measure(r): (outer + 1) many-calls (including
+    # the compile/warmup one) at ~(dispatch + r * per-iteration) each,
+    # plus outer one-calls at ~t_single.  Before any slope measurement
+    # the per-iteration cost is unknown; assume t_single (the
+    # compute-dominated worst case -- for heavy graphs this is exactly
+    # right, which is what keeps the worker-crash mode out).  After each
+    # measurement, refine with the measured slope so relay-dominated
+    # tiny workloads (per-iteration microseconds, dispatch ~30 ms) are
+    # not spuriously clamped below a resolvable window.
+    per_est = t_single
+
+    def measure_cost(r):
+        return (outer + 1) * (t_single + r * per_est) + outer * t_single
+
+    def affordable(r):
+        return measure_cost(r) <= remaining()
 
     def measure(reps):
         fn_many = jax.jit(functools.partial(repeated, reps=reps))
@@ -108,7 +119,7 @@ def slope_time(
         return window / (reps - 1), window
 
     budget_exhausted = False
-    if affordable_reps() < 2:
+    if not affordable(2):
         # Even the smallest slope measurement would blow the budget:
         # report the single-call wall clock instead of crashing the chip.
         per_iter, window = t_single, 0.0
@@ -117,15 +128,21 @@ def slope_time(
         fallback = True
     else:
         fallback = False
-        reps = max(2, min(reps, affordable_reps()))
+        reps = max(2, reps)
+        while reps > 2 and not affordable(reps):
+            reps //= 2
         per_iter, window = measure(reps)
+        per_est = max(per_iter, 1e-9)
         while window < min_window and reps < max_reps:
-            next_reps = min(max_reps, reps * 8, max(affordable_reps(), 0))
+            next_reps = min(max_reps, reps * 8)
+            while next_reps > reps and not affordable(next_reps):
+                next_reps //= 2
             if next_reps <= reps:
                 budget_exhausted = True
                 break
             reps = next_reps
             per_iter, window = measure(reps)
+            per_est = max(per_iter, 1e-9)
     if window < min_window:
         import warnings
 

@@ -52,14 +52,21 @@ def test_slope_time_budget_fallback_never_escalates():
 
 
 def test_slope_time_budget_stops_escalation():
-    """With an unreachable window the loop must stop on budget, not crash."""
+    """With an unreachable window the loop must stop on budget, not crash.
+
+    The workload has a real per-iteration cost (a 512x512 matmul) so the
+    refined cost model -- which charges escalation at the *measured*
+    slope, not the dispatch-dominated single-call time -- still finds
+    4096 reps unaffordable inside the small budget.
+    """
+    A = jnp.ones((1024, 1024))
     t, info = timing.slope_time(
-        lambda x: x + 1.0,
-        jnp.ones((8,)),
+        lambda x: A @ x,
+        jnp.ones((1024, 1024)),
         reps=2,
         outer=2,
         min_window=1e9,  # never reachable
-        budget_s=1.0,
+        budget_s=0.5,
         return_info=True,
     )
     assert info["resolved"] is False
