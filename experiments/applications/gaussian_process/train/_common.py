@@ -85,6 +85,37 @@ def build_argparser(parser):
         "the reference's jnp.log (ref optim_logml_adjoints_adaptive.py"
         ":108-115 via gp_util.krylov_logdet_slq)",
     )
+    parser.add_argument(
+        "--split_step",
+        action="store_true",
+        help="compute each training step as three shorter device calls "
+        "(preconditioner factor / CG quadratic-term grad / SLQ logdet "
+        "grad) instead of one.  Mathematically identical (the mll is a "
+        "sum and the factor is non-differentiable either way); needed "
+        "at large N in environments that kill executables running "
+        "longer than ~90 s on-device (this relay's watchdog)",
+    )
+    parser.add_argument(
+        "--slq_host_batches",
+        type=int,
+        default=1,
+        help="(--split_step only) evaluate the SLQ logdet gradient as "
+        "this many separate device calls of num_samples/B probes each, "
+        "averaged on the host.  The Hutchinson mean and its gradient "
+        "distribute over probe batches, so the estimator class is "
+        "unchanged (probe draws differ from the single-call split of "
+        "the same key -- Monte-Carlo noise, not bias).  Bounds the "
+        "SLQ executable under the watchdog at large N",
+    )
+    parser.add_argument(
+        "--cg_maxiter",
+        type=int,
+        default=1000,
+        help="adaptive-CG iteration cap for the training solve (the "
+        "per-call executable runs ~2x this many matvecs incl. the "
+        "implicit-diff transpose solve; bound it at large N to stay "
+        "under the executable watchdog)",
+    )
     parser.add_argument("--num_partitions", type=int, required=True)
     parser.add_argument("--num_matvecs", type=int, required=True)
     parser.add_argument("--num_samples", type=int, required=True)
@@ -147,7 +178,8 @@ def assemble(args, *, n_train: int, ndim: int, solver_mode: str, unflatten=None)
     # Linear algebra assembly (call stack SURVEY.md 3.1).
     if solver_mode == "adaptive":
         solve_p = solvers.pcg_adaptive(
-            rtol=0.0, atol=args.cg_tol, maxiter=1000, miniter=10
+            rtol=0.0, atol=args.cg_tol,
+            maxiter=getattr(args, "cg_maxiter", 1000), miniter=10,
         )
     else:
         solve_p = solvers.pcg_fixed_step(args.num_matvecs)
@@ -226,6 +258,10 @@ def assemble(args, *, n_train: int, ndim: int, solver_mode: str, unflatten=None)
             num_batches=1,
             checkpoint=True,
             matfun=log_clipped(),
+            # Blocked probes when the training config asked for them --
+            # the vmapped per-probe composition exceeds this relay's
+            # executable watchdog at probes*n beyond ~2M.
+            blocked=args.slq == "blocked",
         )
         solve_ = solvers.pcg_adaptive(rtol=0.0, atol=1e-4, maxiter=10_000, miniter=10)
         likelihood_, _ = gp.likelihood_pdf_p(
@@ -253,6 +289,167 @@ def assemble(args, *, n_train: int, ndim: int, solver_mode: str, unflatten=None)
         )
         return postmean(x)
 
+    # --split_step: the same mll value-and-gradient as three shorter
+    # device calls.  The mll is a sum,
+    #     logml = [-1/2 r^T Khat^{-1} r - n/2 log 2pi] + [-1/2 logdet(Khat)],
+    # so value_and_grad distributes over the two bracketed terms, and the
+    # preconditioner factor is non-differentiable by contract (its VJP
+    # raises), so computing it in its own executable from the same
+    # parameters changes nothing.  Purpose: this environment's relay
+    # kills any executable running longer than ~90 s on-device; at
+    # N=400,000 the single-call step is right at that boundary
+    # (results/round5_logs/phase2.log: 3/3 worker crashes).
+    mll_split_value_and_grad = None
+    predict_mean_split = None
+    if getattr(args, "split_step", False):
+        from lanczos_adjoints_tpu.models.gp import _CovarianceOp, _mean_array
+
+        @jax.jit
+        def _factor(params, Xs):
+            p1, p2, _p3 = unflatten(params)
+            mean_fn, kernel_fn = prior(params_mean=p1, params_kernel=p2)
+            cov = _CovarianceOp(gram_matvec, kernel_fn, Xs)
+            return cholesky(cov.elem, len(Xs))
+
+        @jax.jit
+        def _quad_vg(params, chol, Xs, ys):
+            def quad(params):
+                p1, p2, p3 = unflatten(params)
+                mean_fn, kernel_fn = prior(params_mean=p1, params_kernel=p2)
+                noise = constrain(p3["raw_noise"])
+                cov = _CovarianceOp(gram_matvec, kernel_fn, Xs)
+                r = ys - _mean_array(mean_fn, Xs)
+                sol, info = solve_p(
+                    lambda v: cov.matvec(v) + noise * v,
+                    r,
+                    P=lambda v: precond.woodbury_solve(chol, v, noise),
+                )
+                n = len(Xs)
+                val = -0.5 * jnp.dot(r, sol) - n / 2 * jnp.log(2 * jnp.pi)
+                return val, info
+
+            (val, info), g = jax.value_and_grad(quad, has_aux=True)(params)
+            return val, info, g
+
+        # The SLQ gradient is the longest executable of the three (fwd
+        # recurrence + re-projected adjoint + wide parameter pass); at
+        # N=400k even alone it exceeds the watchdog.  Split the probe
+        # batch over host-level calls: the Hutchinson mean and its
+        # gradient distribute over probe batches.
+        slq_host_batches = max(1, int(getattr(args, "slq_host_batches", 1)))
+        if args.num_samples % slq_host_batches:
+            msg = (
+                f"--slq_host_batches {slq_host_batches} must divide "
+                f"--num_samples {args.num_samples}"
+            )
+            raise ValueError(msg)
+        sample_small = trace.sampler_rademacher(
+            jnp.ones((n_train,)), num=args.num_samples // slq_host_batches
+        )
+        logdet_small = gp.krylov_logdet_slq(
+            args.num_matvecs,
+            sample=sample_small,
+            num_batches=1,
+            checkpoint=True,
+            matfun=train_matfun,
+            blocked=args.slq == "blocked",
+        )
+
+        @jax.jit
+        def _logdet_vg(params, key, Xs):
+            def half_logdet(params):
+                p1, p2, p3 = unflatten(params)
+                _mean_fn, kernel_fn = prior(params_mean=p1, params_kernel=p2)
+                noise = constrain(p3["raw_noise"])
+                cov = _CovarianceOp(gram_matvec, kernel_fn, Xs)
+                val, info = logdet_small(
+                    lambda v: cov.matvec(v) + noise * v, key
+                )
+                return -0.5 * val, info
+
+            (val, info), g = jax.value_and_grad(half_logdet, has_aux=True)(params)
+            return val, info, g
+
+        def mll_split_value_and_grad(params, key, Xs, ys):
+            chol, info_pre = _factor(params, Xs)
+            qv, qinfo, qg = _quad_vg(params, chol, Xs, ys)
+            keys = jax.random.split(key, slq_host_batches)
+            lvs, lgs = [], []
+            for k in keys:
+                lv_b, _linfo_b, lg_b = _logdet_vg(params, k, Xs)
+                lvs.append(lv_b)
+                lgs.append(lg_b)
+            lv = sum(lvs) / slq_host_batches
+            lg = sum(lgs) / slq_host_batches
+            if slq_host_batches > 1:
+                vals = jnp.stack(lvs)
+                std = jnp.std(vals)
+                linfo = {
+                    "std_abs": std,
+                    "std_rel": std / jnp.abs(lv),
+                }
+            else:
+                linfo = {"std_abs": 0.0, "std_rel": 0.0}
+            n = len(Xs)
+            value = -(qv + lv) / n
+            grads = -(qg + lg) / n
+            aux = {
+                "precondition": info_pre,
+                "logpdf": {"logdet": linfo, "solve": qinfo},
+            }
+            return (value, aux), grads
+
+        # Restarted posterior-mean solve: the eval-time CG at N=400k
+        # (atol 1e-2, effectively unbounded iterations) is one long
+        # executable; restarting from the running iterate
+        # (A dx = b - A x) splits it into bounded chunks with the same
+        # fixed point.
+        solve_chunk = solvers.pcg_adaptive(
+            rtol=0.0, atol=1e-2, maxiter=getattr(args, "cg_maxiter", 1000),
+            miniter=2,
+        )
+
+        @jax.jit
+        def _predict_residual(params, chol, w, Xs, ys):
+            p1, p2, p3 = unflatten(params)
+            mean_fn, kernel_fn = prior(params_mean=p1, params_kernel=p2)
+            noise = constrain(p3["raw_noise"])
+            cov = _CovarianceOp(gram_matvec, kernel_fn, Xs)
+            b = ys - _mean_array(mean_fn, Xs)
+            return b - (cov.matvec(w) + noise * w)
+
+        @jax.jit
+        def _predict_chunk(params, chol, r, Xs):
+            p1, p2, p3 = unflatten(params)
+            _mean_fn, kernel_fn = prior(params_mean=p1, params_kernel=p2)
+            noise = constrain(p3["raw_noise"])
+            cov = _CovarianceOp(gram_matvec, kernel_fn, Xs)
+            dw, info = solve_chunk(
+                lambda v: cov.matvec(v) + noise * v,
+                r,
+                P=lambda v: precond.woodbury_solve(chol, v, noise),
+            )
+            return dw, info
+
+        @jax.jit
+        def _predict_cross(params, x, w, Xs):
+            p1, p2, _p3 = unflatten(params)
+            mean_fn, kernel_fn = prior(params_mean=p1, params_kernel=p2)
+            cov = _CovarianceOp(gram_matvec, kernel_fn, Xs)
+            return _mean_array(mean_fn, x) + cov.cross_matvec(x, w)
+
+        def predict_mean_split(params, x, Xs, ys, *, restarts=20, atol=1e-2):
+            chol, _info = _factor(params, Xs)
+            w = jnp.zeros((len(Xs),), Xs.dtype)
+            info = {}
+            for _ in range(restarts):
+                r = _predict_residual(params, chol, w, Xs, ys)
+                if float(jnp.linalg.norm(r)) / np.sqrt(len(Xs)) <= atol:
+                    break
+                dw, info = _predict_chunk(params, chol, r, Xs)
+                w = w + dw
+            return _predict_cross(params, x, w, Xs), {"solve": info}
+
     return SimpleNamespace(
         mll_lanczos=mll_lanczos,
         mll_eval=mll_eval,
@@ -261,6 +458,8 @@ def assemble(args, *, n_train: int, ndim: int, solver_mode: str, unflatten=None)
         unflatten=unflatten,
         mesh=mesh,
         constrain=constrain,
+        mll_split_value_and_grad=mll_split_value_and_grad,
+        predict_mean_split=predict_mean_split,
     )
 
 
@@ -312,7 +511,12 @@ def run(args, *, script_file, solver_mode: str):
         optax.adam(args.learning_rate), max_consecutive_errors=25
     )
     state = optimizer.init(p_opt)
-    value_and_grad = jax.jit(jax.value_and_grad(mll_lanczos, argnums=0, has_aux=True))
+    if getattr(args, "split_step", False):
+        value_and_grad = stack.mll_split_value_and_grad
+    else:
+        value_and_grad = jax.jit(
+            jax.value_and_grad(mll_lanczos, argnums=0, has_aux=True)
+        )
 
     ckpt_dir = exp_util.matching_directory(script_file, "results/") + (
         f"checkpoints_{args.name}_{args.dataset}_s{args.seed}"
@@ -363,6 +567,8 @@ def run(args, *, script_file, solver_mode: str):
         except KeyboardInterrupt:
             break
 
+    if getattr(args, "split_step", False):
+        predict_mean = stack.predict_mean_split
     predicted, _info = predict_mean(p_opt, test_x, train_x, train_y)
     test_rmse = float(rmse(predicted, target=test_y))
     key, subkey = jax.random.split(key)

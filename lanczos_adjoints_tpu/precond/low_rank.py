@@ -20,6 +20,39 @@ import jax.numpy as jnp
 from lanczos_adjoints_tpu.utils.precision import highest_precision
 
 
+@jax.custom_vjp
+@highest_precision
+def woodbury_solve(chol: jax.Array, v: jax.Array, s):
+    """``(s*I + L L^T)^{-1} v`` from a partial factor ``L`` (n, rank).
+
+    The capacitance-matrix identity, exposed as a standalone function so
+    a driver can build the factor in one executable and apply the solve
+    in another (this environment kills executables running longer than
+    ~90 s on-device; splitting the GP training step around this boundary
+    is how the N=400k configuration runs).  Refuses to be differentiated,
+    like the closure built by :func:`preconditioner`.
+    """
+    rank = jnp.shape(chol)[1]
+    scaled = chol / jnp.sqrt(s)
+    v_scaled = v / s
+    capacitance = jnp.eye(rank) + scaled.T @ scaled
+    cho = jax.scipy.linalg.cho_factor(capacitance)
+    correction = jax.scipy.linalg.cho_solve(cho, scaled.T @ v_scaled)
+    return v_scaled - scaled @ correction
+
+
+def _woodbury_fwd(chol, v, s):
+    return woodbury_solve(chol, v, s), None
+
+
+def _woodbury_bwd(_cache, _cotangent):
+    msg = "Preconditioners must not be differentiated through."
+    raise RuntimeError(msg)
+
+
+woodbury_solve.defvjp(_woodbury_fwd, _woodbury_bwd)
+
+
 def preconditioner(cholesky: Callable, /) -> Callable:
     """Turn a partial Cholesky routine into a Woodbury solver factory.
 
@@ -34,25 +67,9 @@ def preconditioner(cholesky: Callable, /) -> Callable:
         n_full, rank = jnp.shape(chol)
         assert rank <= n_full, (n_full, rank)
 
-        @jax.custom_vjp
-        @highest_precision
         def solve(v: jax.Array, s):
-            scaled = chol / jnp.sqrt(s)
-            v_scaled = v / s
+            return woodbury_solve(chol, v, s)
 
-            capacitance = jnp.eye(rank) + scaled.T @ scaled
-            cho = jax.scipy.linalg.cho_factor(capacitance)
-            correction = jax.scipy.linalg.cho_solve(cho, scaled.T @ v_scaled)
-            return v_scaled - scaled @ correction
-
-        def solve_fwd(v, s):
-            return solve(v, s), None
-
-        def solve_bwd(_cache, _cotangent):
-            msg = "Preconditioners must not be differentiated through."
-            raise RuntimeError(msg)
-
-        solve.defvjp(solve_fwd, solve_bwd)
         return solve, info
 
     return precondition
